@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every implemented operator from SURVEY.md §2 gets a queries() entry; each
+SQL-expressible one gets an oracle_sql() twin the driver runs on DuckDB over
+the same parquet. Spatial queries synthesize deterministic points from
+lineitem keys (pure integer math — bit-identical in both engines; see
+mvt_wrangler_spark/sources/points.py).
 """
 
 from __future__ import annotations
@@ -12,27 +12,422 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Z = 10  # zoom used by the oracle-checked tiling queries
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvt_wrangler_spark.sources.points import synth_points
+
+    return synth_points(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvt_wrangler_spark.functions import tiling
+
+    pts = _points(spark, sf_dir)
+    return tiling.assign_tiles(pts, z=Z, with_local=False).select("id", "z", "x", "y", "tile_id")
+
+
+def q_tile_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvt_wrangler_spark.functions import tiling
+
+    pts = _points(spark, sf_dir)
+    out = tiling.assign_tiles(pts, z=Z, with_local=True)
+    return out.select(
+        "id",
+        F.round("px", 4).alias("px_r"),
+        F.round("py", 4).alias("py_r"),
+    )
+
+
+def q_pyramid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvt_wrangler_spark.functions import tiling
+    from mvt_wrangler_spark.operators import rollup as R
+
+    pts = tiling.assign_tiles(_points(spark, sf_dir), z=Z, with_local=False)
+    base = pts.groupBy("z", "x", "y").agg(F.count(F.lit(1)).alias("n_rows"))
+    return R.pyramid_rollup(base, base_z=Z, min_z=0)
+
+
+def q_tile_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvt_wrangler_spark.functions import tiling
+    from mvt_wrangler_spark.operators import rollup as R
+
+    pts = tiling.assign_tiles(_points(spark, sf_dir), z=Z, with_local=False)
+    stats = R.tile_stats(pts.withColumn("bytes", F.lit(None).cast("binary")),
+                         n_salt=8, salt_col="id")
+    return stats.select("z", "x", "y", "n_rows")
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from mvt_wrangler_spark.functions import geometry as G
+    from mvt_wrangler_spark.operators import joins as J
+    from mvt_wrangler_spark.sources.points import PIP_POLYGONS
+
+    pts = _points(spark, sf_dir)
+    polys = [(pid, G.Polygon(np.array(v))) for pid, v in PIP_POLYGONS]
+    return J.broadcast_pip_join(spark, pts.select("id", "lon", "lat"), polys).select("id", "admin_id")
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvt_wrangler_spark.operators import joins as J
+
+    pts = _points(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", 139.76, 35.68), ("q1", -74.0, 40.71), ("q2", 10.5, -20.25)],
+        "query_id string, lon double, lat double",
+    )
+    out = J.knn_join(pts.withColumn("id", F.col("id").cast("string")), queries, k=4, data_id="id")
+    return out.select("query_id", "rank", F.col("neighbor_id").cast("long").alias("neighbor_id"), "dist2")
+
+
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvt_wrangler_spark.functions import tiling
+    from mvt_wrangler_spark.operators import dedup as D
+
+    pts = tiling.assign_tiles(_points(spark, sf_dir), z=Z, with_local=False)
+    return D.phash_dedup(pts, keys=("z", "x", "y", "phash"), order_col="id").select(
+        "id", "x", "y", "phash")
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Program parse -> PIP mask -> compiled feature filter -> dedup."""
+    from mvt_wrangler_spark.functions import tiling
+    from mvt_wrangler_spark.operators import dedup as D
+    from mvt_wrangler_spark.operators import filters as FL
+    from mvt_wrangler_spark.sources.points import PIP_POLYGONS
+
+    ring = [list(v) for v in PIP_POLYGONS[2][1]]
+    ring.append(ring[0])
+    program = FL.FilterProgram.from_geojson({
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature",
+            "geometry": {"type": "Polygon", "coordinates": [ring]},
+            "properties": {"layers": {"*": {"feature": ["==", ["tag", "kind"], "building"]}}},
+        }],
+    })
+    pts = _points(spark, sf_dir).withColumn("tags", F.create_map(F.lit("kind"), F.col("kind")))
+    masked = pts.withColumn(
+        "filter_mask", FL.filter_mask_column(spark, program, F.col("lon"), F.col("lat")))
+    surv = FL.apply_feature_filter(masked, program)
+    surv = tiling.assign_tiles(surv, z=Z, with_local=False)
+    return D.phash_dedup(surv, keys=("z", "x", "y", "phash"), order_col="id").select(
+        "id", "x", "y", "phash")
+
+
+def q_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_filter with the reference fixture's global tag-prune rule."""
+    from mvt_wrangler_spark.operators import expr as E
+    from mvt_wrangler_spark.operators import filters as FL
+    from mvt_wrangler_spark.sources.fixtures import default_filter_geojson
+
+    prog = FL.FilterProgram.from_geojson(default_filter_geojson())
+    pts = _points(spark, sf_dir).withColumn(
+        "tags",
+        F.create_map(
+            F.lit("name"), F.col("kind"),
+            F.lit("name:ja"), F.col("kind"),
+            F.lit("name:fr"), F.col("kind"),
+            F.lit("pgf:name:ja"), F.col("kind"),
+            F.lit("kind"), F.col("kind"),
+        ),
+    ).withColumn("filter_mask", F.lit(4).cast("long"))  # global rule applies
+    out = FL.apply_tag_filter(pts, prog)
+    return out.select("id", F.array_sort(F.map_keys("tags")).alias("kept_keys"))
+
+
+def q_expr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compiled DSL program over part-table tags."""
+    from mvt_wrangler_spark.operators import expr as E
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    tagged = part.withColumn(
+        "tags",
+        F.create_map(
+            F.lit("brand"), F.col("p_brand"),
+            F.lit("type"), F.col("p_type"),
+            F.lit("size"), F.col("p_size").cast("string"),
+        ),
+    )
+    prog = ["all",
+            ["in", ["tag", "brand"], ["literal", ["Brand#13", "Brand#11", "Brand#25"]]],
+            ["regex-match", ["tag", "type"], "ECONOMY|PROMO"],
+            ["not", ["starts-with", ["tag", "size"], "1"]],
+            [">", ["tag", "size"], "2"]]
+    ctx = E.ColumnContext(tags=F.col("tags"))
+    return tagged.filter(E.compile_expr(prog, ctx)).select("p_partkey")
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time window agg (streaming-shaped, batch-checked)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"),
+                   F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("total"))
+        .select("event_type", "window_start", "n", "total")
+    )
+
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvt_wrangler_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.exact_dedup(docs, on="text", order_col="doc_id").select("doc_id")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.size(toks).alias("n_tokens"),
+        F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).alias("n_punct"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language heuristic (deterministic formula, both engines)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+
+    def hits(word):
+        return (F.length(padded) - F.length(F.replace(padded, F.lit(f" {word} "), F.lit("")))) \
+            / (len(word) + 2)
+
+    en = hits("the") + hits("a") + hits("and")
+    return docs.select(
+        "doc_id",
+        F.when(en >= 3, "en").when(en >= 1, "en-ish").otherwise("unk").alias("lang_pred"),
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force integer-quantized dot-product top-k (ANN baseline)."""
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    prod = F.zip_with(
+        "embedding", "qemb",
+        lambda x, y: F.round(x.cast("double") * 1000).cast("long")
+        * F.round(y.cast("double") * 1000).cast("long"),
+    )
+    score = F.aggregate(prod, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "rank", F.col("vec_id").alias("neighbor_id"), "score")
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs (rows-only check; pytest covers semantics)."""
+    from mvt_wrangler_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.minhash_lsh_candidates(docs, num_hashes=16, bands=8, shingle=5)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full spatial pipeline at sf0.001 -> per-tile stats."""
+    return q_pipeline_e2e(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tile_assign": q_tile_assign,
+        "tile_local": q_tile_local,
+        "pyramid_rollup": q_pyramid_rollup,
+        "tile_stats_salted": q_tile_stats_salted,
+        "pip_join": q_pip_join,
+        "knn_join": q_knn_join,
+        "phash_dedup": q_phash_dedup,
+        "pipeline_e2e": q_pipeline_e2e,
+        "tag_filter": q_tag_filter,
+        "expr_filter": q_expr_filter,
+        "events_window": q_events_window,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "ann_topk": q_ann_topk,
+        "minhash_lsh": q_minhash_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mvt_wrangler_spark.functions.tiling import (
+        frac_tile_x_sql,
+        frac_tile_y_sql,
+        pmtiles_tile_id_sql,
+        tile_x_sql,
+        tile_y_sql,
+    )
+    from mvt_wrangler_spark.sources.points import (
+        PIP_POLYGONS,
+        POINTS_SQL,
+        halfplane_sql,
+    )
+
+    pts = f"__pts AS ({POINTS_SQL})"
+    xy = (f"__xy AS (SELECT id, phash, lon, lat, kind, CAST({Z} AS INT) AS z, "
+          f"{tile_x_sql('lon', Z)} AS x, {tile_y_sql('lat', Z)} AS y FROM __pts)")
+
+    ctes, last, tid = pmtiles_tile_id_sql(Z, "x", "y", "__xy")
+    tile_assign = (
+        "WITH " + ",\n".join([pts, xy] + ctes)
+        + f" SELECT id, z, x, y, {tid} AS tile_id FROM {last}"
+    )
+
+    tile_local = f"""
+WITH {pts}, {xy}
+SELECT id,
+       round(({frac_tile_x_sql('lon', Z)} - x) * 4096.0, 4) AS px_r,
+       round(({frac_tile_y_sql('lat', Z)} - y) * 4096.0, 4) AS py_r
+FROM __xy
+"""
+
+    levels = []
+    for z in range(Z, -1, -1):
+        s = Z - z
+        levels.append(
+            f"SELECT CAST({z} AS INT) AS z, x >> {s} AS x, y >> {s} AS y, "
+            f"CAST(count(*) AS BIGINT) AS n_rows FROM __xy GROUP BY 2, 3"
+        )
+    pyramid = "WITH " + ",\n".join([pts, xy]) + " " + "\nUNION ALL\n".join(levels)
+
+    tile_stats = (
+        "WITH " + ",\n".join([pts, xy])
+        + " SELECT z, x, y, CAST(count(*) AS BIGINT) AS n_rows FROM __xy GROUP BY 1,2,3"
+    )
+
+    pip_arms = "\nUNION ALL\n".join(
+        f"SELECT id, '{pid}' AS admin_id FROM __pts WHERE {halfplane_sql(pid, v)}"
+        for pid, v in PIP_POLYGONS
+    )
+    pip_join = f"WITH {pts} {pip_arms}"
+
+    knn_qs = "(VALUES ('q0', 139.76, 35.68), ('q1', -74.0, 40.71), ('q2', 10.5, -20.25)) AS q(query_id, qlon, qlat)"
+    knn = f"""
+WITH {pts},
+__d AS (SELECT q.query_id, p.id AS neighbor_id,
+               (p.lon - q.qlon)*(p.lon - q.qlon) + (p.lat - q.qlat)*(p.lat - q.qlat) AS dist2
+        FROM __pts p, {knn_qs}),
+__r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, neighbor_id ASC) AS rank FROM __d)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2 FROM __r WHERE rank <= 4
+"""
+
+    dedup = f"""
+WITH {pts}, {xy},
+__r AS (SELECT id, x, y, phash,
+               row_number() OVER (PARTITION BY z, x, y, phash ORDER BY id ASC) AS rn
+        FROM __xy)
+SELECT id, x, y, phash FROM __r WHERE rn = 1
+"""
+
+    hexc = halfplane_sql(*PIP_POLYGONS[2])
+    pipeline = f"""
+WITH {pts},
+__surv AS (SELECT * FROM __pts WHERE NOT (kind = 'building' AND ({hexc}))),
+__xy AS (SELECT id, phash, CAST({Z} AS INT) AS z, {tile_x_sql('lon', Z)} AS x,
+                {tile_y_sql('lat', Z)} AS y FROM __surv),
+__r AS (SELECT id, x, y, phash,
+               row_number() OVER (PARTITION BY z, x, y, phash ORDER BY id ASC) AS rn
+        FROM __xy)
+SELECT id, x, y, phash FROM __r WHERE rn = 1
+"""
+
+    # tag_filter truth, precomputed from the fixture rule semantics:
+    # pgf:name:ja dropped (starts-with pgf:name:), name:fr dropped (capture
+    # 'fr' not in keep list); name ('' capture), name:ja, kind kept.
+    tag_filter = f"WITH {pts} SELECT id, ['kind','name','name:ja'] AS kept_keys FROM __pts"
+
+    expr_filter = """
+SELECT p_partkey FROM part
+WHERE p_brand IN ('Brand#13', 'Brand#11', 'Brand#25')
+  AND regexp_matches(p_type, 'ECONOMY|PROMO')
+  AND NOT starts_with(CAST(p_size AS VARCHAR), '1')
+  AND CAST(p_size AS VARCHAR) > '2'
+"""
+
+    events_window = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2
+"""
+
+    docs_dedup = """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+    text_stats = r"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars_raw,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+       CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INT) AS n_punct
+FROM documents
+"""
+
+    lang_id = """
+WITH h AS (
+  SELECT doc_id,
+         (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5.0
+       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3.0
+       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5.0 AS en
+  FROM documents)
+SELECT doc_id, CASE WHEN en >= 3 THEN 'en' WHEN en >= 1 THEN 'en-ish' ELSE 'unk' END AS lang_pred
+FROM h
+"""
+
+    ann = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+p AS (SELECT e.vec_id, q.qid,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                         * CAST(round(CAST(q.qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS score
+      FROM embeddings e, q WHERE e.vec_id != q.qid),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank FROM p)
+SELECT qid, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, CAST(score AS BIGINT) AS score
+FROM r WHERE rank <= 5
+"""
+
+    return {
+        "tile_assign": tile_assign,
+        "tile_local": tile_local,
+        "pyramid_rollup": pyramid,
+        "tile_stats_salted": tile_stats,
+        "pip_join": pip_join,
+        "knn_join": knn,
+        "phash_dedup": dedup,
+        "pipeline_e2e": pipeline,
+        "tag_filter": tag_filter,
+        "expr_filter": expr_filter,
+        "events_window": events_window,
+        "docs_exact_dedup": docs_dedup,
+        "text_stats": text_stats,
+        "lang_id": lang_id,
+        "ann_topk": ann,
+        # minhash_lsh: intentionally no oracle (hash-function-specific)
+    }

@@ -1,0 +1,99 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <rows/sec of the flagship pipeline>, "unit": "rows/sec",
+   "queries": {"<name>": seconds, ...}, "sf": <dir>, ...}
+
+The headline metric matches BASELINE.json: tile-assignment + spatial-join
+throughput (rows/sec) — input rows fully processed through
+assign -> PIP join -> filter -> dedup per wall-clock second (job start to
+sink action, excluding JVM startup).
+
+Optional scaling evidence (north rule N vs 4N): SPARK_GRAFT_SCALING=1 runs
+the flagship at local[8] and local[32] in separate JVM sessions and reports
+throughput at both plus efficiency; see scripts/scaling_bench.py for the
+standalone version that writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def flagship_rows_per_sec(spark, sf_dir: str) -> tuple[float, int, float]:
+    """assign -> PIP-mask -> feature filter -> dedup -> per-tile stats."""
+    import __spark_entry__ as e
+
+    from mvt_wrangler_spark.sources.points import synth_points
+
+    n_in = synth_points(spark, sf_dir).count()  # warm scan, not measured
+    t0 = time.time()
+    out = e.q_pipeline_e2e(spark, sf_dir)
+    n_out = _count(out)
+    dt = time.time() - t0
+    return n_in / dt, n_out, dt
+
+
+def main() -> None:
+    from mvt_wrangler_spark.session import get_spark
+
+    import __spark_entry__ as e
+
+    spark = get_spark(master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    qs = e.queries()
+    bench_set = [
+        "tile_assign", "pyramid_rollup", "pip_join", "knn_join",
+        "phash_dedup", "pipeline_e2e", "tag_filter", "events_window",
+        "text_stats", "ann_topk", "minhash_lsh",
+    ]
+    for name in bench_set:
+        t0 = time.time()
+        _count(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    rps, n_out, dt = flagship_rows_per_sec(spark, SF_DIR)
+
+    result = {
+        "metric": "tile-assignment + spatial-join throughput",
+        "value": round(rps, 1),
+        "unit": "rows/sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": int(CPUS) if CPUS.isdigit() else CPUS,
+        "flagship_out_rows": n_out,
+        "flagship_sec": round(dt, 3),
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        spark.stop()
+        scal = {}
+        for n in (8, 32):
+            s = get_spark(master=f"local[{n}]", app_name=f"scaling-{n}")
+            s.sparkContext.setLogLevel("ERROR")
+            r, _, d = flagship_rows_per_sec(s, SF_DIR)
+            scal[f"local[{n}]"] = {"rows_per_sec": round(r, 1), "sec": round(d, 3)}
+            s.stop()
+        eff = scal["local[32]"]["rows_per_sec"] / scal["local[8]"]["rows_per_sec"] / 4.0
+        result["scaling"] = scal
+        result["scaling_efficiency_8_to_32"] = round(eff, 3)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Vectorized numpy geometry kernels (no shapely in this environment).
+
+Plays the role geo/rstar play in the reference:
+  - exact intersects refinement:   /root/reference/src/transform.rs:140-143
+  - R-tree bbox prefilter:         /root/reference/src/filtering/data.rs:189-230
+  - bbox-vs-tile predicate:        /root/reference/src/transform.rs:31-45
+
+All kernels are batch-oriented (N points x one polygon in pure numpy) and run
+inside Arrow-batched pandas UDFs — never per-row Python. Polygons are
+(ring, holes) vertex arrays in lon/lat degrees.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class Polygon:
+    """One polygon: exterior ring (closed or open, both accepted) + holes."""
+
+    exterior: np.ndarray  # (M, 2) float64 lon/lat
+    holes: list[np.ndarray] = field(default_factory=list)
+
+    def __post_init__(self):
+        self.exterior = _close_ring(np.asarray(self.exterior, dtype=np.float64))
+        self.holes = [_close_ring(np.asarray(h, dtype=np.float64)) for h in self.holes]
+        allv = np.vstack([self.exterior] + self.holes)
+        self.minx, self.miny = allv.min(axis=0)
+        self.maxx, self.maxy = allv.max(axis=0)
+
+    @property
+    def bbox(self) -> tuple[float, float, float, float]:
+        return (self.minx, self.miny, self.maxx, self.maxy)
+
+
+def _close_ring(r: np.ndarray) -> np.ndarray:
+    if len(r) and not np.array_equal(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    return r
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd ray casting, boundary-inclusive-ish, vectorized N x M.
+
+    Crossing-number test: for each edge (x1,y1)->(x2,y2), a rightward ray
+    from (px,py) crosses iff (y1>py) != (y2>py) and px < x-intercept.
+    """
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    cond = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (py - y1) * (x2 - x1) / np.where(y2 != y1, y2 - y1, 1.0)
+    crossings = (cond & (px < xint)).sum(axis=1)
+    return (crossings % 2).astype(bool)
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, poly: Polygon) -> np.ndarray:
+    """Point-in-polygon with holes; bbox pre-cull first (cheap reject)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.zeros(len(px), dtype=bool)
+    cand = (px >= poly.minx) & (px <= poly.maxx) & (py >= poly.miny) & (py <= poly.maxy)
+    if not cand.any():
+        return out
+    inside = points_in_ring(px[cand], py[cand], poly.exterior)
+    for hole in poly.holes:
+        inside &= ~points_in_ring(px[cand], py[cand], hole)
+    out[cand] = inside
+    return out
+
+
+def _segments_intersect(a1, a2, b1, b2) -> bool:
+    """Proper/improper 2-segment intersection (orientation test)."""
+
+    def orient(p, q, r):
+        return (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+
+    def on_seg(p, q, r):
+        return min(p[0], q[0]) - 1e-12 <= r[0] <= max(p[0], q[0]) + 1e-12 and \
+               min(p[1], q[1]) - 1e-12 <= r[1] <= max(p[1], q[1]) + 1e-12
+
+    o1, o2 = orient(a1, a2, b1), orient(a1, a2, b2)
+    o3, o4 = orient(b1, b2, a1), orient(b1, b2, a2)
+    if ((o1 > 0) != (o2 > 0) and o1 != 0 and o2 != 0) and ((o3 > 0) != (o4 > 0) and o3 != 0 and o4 != 0):
+        return True
+    for (p, q, r, o) in ((a1, a2, b1, o1), (a1, a2, b2, o2), (b1, b2, a1, o3), (b1, b2, a2, o4)):
+        if o == 0 and on_seg(p, q, r):
+            return True
+    return False
+
+
+def rect_intersects_polygon(minx: float, miny: float, maxx: float, maxy: float, poly: Polygon) -> bool:
+    """Exact rect x polygon intersects (tile envelope vs filter geometry).
+
+    True if: bboxes overlap AND (a vertex is inside the rect, OR a rect
+    corner is inside the polygon, OR any edges cross).
+    """
+    if maxx < poly.minx or poly.maxx < minx or maxy < poly.miny or poly.maxy < miny:
+        return False
+    ex = poly.exterior
+    inside_rect = (ex[:, 0] >= minx) & (ex[:, 0] <= maxx) & (ex[:, 1] >= miny) & (ex[:, 1] <= maxy)
+    if inside_rect.any():
+        return True
+    corners_x = np.array([minx, minx, maxx, maxx])
+    corners_y = np.array([miny, maxy, miny, maxy])
+    if points_in_polygon(corners_x, corners_y, poly).any():
+        return True
+    rect_edges = [
+        ((minx, miny), (maxx, miny)), ((maxx, miny), (maxx, maxy)),
+        ((maxx, maxy), (minx, maxy)), ((minx, maxy), (minx, miny)),
+    ]
+    for i in range(len(ex) - 1):
+        for re1, re2 in rect_edges:
+            if _segments_intersect(ex[i], ex[i + 1], np.array(re1), np.array(re2)):
+                return True
+    return False
+
+
+class GridIndex:
+    """STRtree-lite: uniform grid over bboxes (the R-tree prefilter analog).
+
+    Built driver-side over the (small) filter/admin polygon set, shipped to
+    executors inside the broadcast; query returns candidate indices whose
+    bbox overlaps the probe bbox — refined by the exact kernels above.
+    """
+
+    def __init__(self, bboxes: list[tuple[float, float, float, float]], nx: int = 64, ny: int = 32):
+        self.bboxes = np.asarray(bboxes, dtype=np.float64).reshape(-1, 4)
+        self.nx, self.ny = nx, ny
+        self.cells: dict[tuple[int, int], list[int]] = {}
+        for i, (x0, y0, x1, y1) in enumerate(self.bboxes):
+            for cx in range(self._cx(x0), self._cx(x1) + 1):
+                for cy in range(self._cy(y0), self._cy(y1) + 1):
+                    self.cells.setdefault((cx, cy), []).append(i)
+
+    def _cx(self, x: float) -> int:
+        return int(np.clip((x + 180.0) / 360.0 * self.nx, 0, self.nx - 1))
+
+    def _cy(self, y: float) -> int:
+        return int(np.clip((y + 90.0) / 180.0 * self.ny, 0, self.ny - 1))
+
+    def query(self, x0: float, y0: float, x1: float, y1: float) -> list[int]:
+        seen: set[int] = set()
+        for cx in range(self._cx(x0), self._cx(x1) + 1):
+            for cy in range(self._cy(y0), self._cy(y1) + 1):
+                seen.update(self.cells.get((cx, cy), ()))
+        b = self.bboxes
+        return [i for i in sorted(seen)
+                if not (x1 < b[i, 0] or b[i, 2] < x0 or y1 < b[i, 1] or b[i, 3] < y0)]
+
+
+def parse_geojson_geometry(geom: dict) -> list[Polygon]:
+    """GeoJSON Polygon/MultiPolygon -> list of Polygon (other types: points
+    and lines are not valid filter masks for point data; rejected)."""
+    t = geom.get("type")
+    if t == "Polygon":
+        rings = geom["coordinates"]
+        return [Polygon(np.asarray(rings[0]), [np.asarray(h) for h in rings[1:]])]
+    if t == "MultiPolygon":
+        out = []
+        for rings in geom["coordinates"]:
+            out.append(Polygon(np.asarray(rings[0]), [np.asarray(h) for h in rings[1:]]))
+        return out
+    raise ValueError(f"Unsupported filter geometry type: {t}")

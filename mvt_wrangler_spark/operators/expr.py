@@ -524,6 +524,76 @@ def compile_expr(expr: Any, ctx: ColumnContext) -> Column:
     return _bool_val(compile_value(expr, ctx))
 
 
+def validate_expr(expr: Any) -> None:
+    """Driver-side structural validation WITHOUT building Columns.
+
+    Same checks as compile (operator table, arity, regex validity, literal
+    shape — expression_compiler.rs:330-350 + per-op argument rules); usable
+    before any SparkSession exists (program load happens at CLI parse time,
+    mirroring src/lib.rs:51-60).
+    """
+    if isinstance(expr, dict):
+        raise ExpressionCompileError("Object expressions are not supported")
+    if not isinstance(expr, list):
+        lit_from_json(expr)
+        return
+    if not expr:
+        raise ExpressionCompileError("Expression array cannot be empty")
+    op = expr[0]
+    if not isinstance(op, str):
+        raise ExpressionCompileError("First element must be operator string")
+    if op not in _KNOWN_OPS:
+        raise ExpressionCompileError(f"Unknown operator: {op}")
+    args = expr[1:]
+    if op in ("==", "!=", "<", ">", "<=", ">="):
+        _ensure_args(op, args, 2)
+        validate_expr(args[0]); validate_expr(args[1])
+    elif op in ("any", "all", "none"):
+        for a in args:
+            validate_expr(a)
+    elif op in ("not", "!", "boolean"):
+        _ensure_args(op, args, 1)
+        validate_expr(args[0])
+    elif op == "in":
+        _ensure_args(op, args, 2)
+        validate_expr(args[0])
+        inner = args[1]
+        ok = isinstance(inner, list) and len(inner) == 2 and inner[0] == "literal" \
+            and isinstance(inner[1], list)
+        if not ok:
+            raise ExpressionCompileError("In operator requires an array of values")
+    elif op in ("starts-with", "ends-with"):
+        _ensure_args(op, args, 2)
+        validate_expr(args[0])
+        if not isinstance(args[1], str):
+            raise ExpressionCompileError(f"{op} requires string argument")
+    elif op == "regex-match":
+        _ensure_args(op, args, 2)
+        validate_expr(args[0])
+        if not isinstance(args[1], str):
+            raise ExpressionCompileError("RegexMatch requires string pattern")
+        _validate_regex(args[1])
+    elif op == "regex-capture":
+        if len(args) < 3:
+            raise ExpressionCompileError(
+                f"regex-capture: expected at least 3 arguments, got {len(args)}")
+        validate_expr(args[0])
+        if not isinstance(args[1], str):
+            raise ExpressionCompileError("RegexCapture requires string pattern")
+        if not isinstance(args[2], int) or isinstance(args[2], bool) or args[2] < 0:
+            raise ExpressionCompileError("RegexCapture requires numeric group index")
+        _validate_regex(args[1])
+    elif op == "literal":
+        _ensure_args(op, args, 1)
+        lit_from_json(args[0])
+    elif op == "tag":
+        _ensure_args(op, args, 1)
+        if not isinstance(args[0], str):
+            raise ExpressionCompileError("Tag operator requires string argument")
+    elif op in ("key", "type"):
+        _ensure_args(op, args, 0)
+
+
 # ---------------------------------------------------------------------------
 # Typed tag value helpers (MVT Value oneof analog as a Spark struct)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,141 @@
+"""Spatial joins: broadcast point-in-polygon + salted kNN top-k.
+
+Reference analog: the R-tree-prefiltered, exact-refined spatial join of
+tiles x filter geometries (/root/reference/src/filtering/data.rs:189-230 +
+src/transform.rs:96-143). Here generalized to the graft's operators
+(north rule): broadcast STRtree PIP join against admin polygons, and a
+salted kNN join for nearest-neighbor lookups.
+
+Scale notes (100 TB / 10^12 rows):
+  - PIP join is a NARROW stage: polygons broadcast once per executor, one
+    Arrow-batched UDF pass, zero shuffle. Output explodes only matching
+    pairs.
+  - kNN is the shuffling operator; the two-phase salted top-k bounds any
+    single reducer at (k x n_salt) rows per query point, so one hot query
+    cell can't straggle a stage (AQE skew-join handles the join side; the
+    explicit salt handles the aggregation side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions import geometry as G
+
+
+# ---------------------------------------------------------------------------
+# Broadcast point-in-polygon join
+# ---------------------------------------------------------------------------
+
+def pip_match_ids_column(spark: SparkSession, polygons: list[tuple[str, G.Polygon]],
+                         lon: Column, lat: Column) -> Column:
+    """array<string> of polygon ids containing the point.
+
+    GridIndex (STRtree-lite) prefilters by bbox; exact winding-number refine.
+    Entirely executor-side vectorized numpy over Arrow batches.
+    """
+    payload = [(pid, p.exterior, list(p.holes)) for pid, p in polygons]
+    index = G.GridIndex([p.bbox for _, p in polygons])
+    bc = spark.sparkContext.broadcast((payload, index))
+
+    @pandas_udf("array<string>")
+    def _match(plon: pd.Series, plat: pd.Series) -> pd.Series:
+        pl, idx = bc.value
+        px = plon.to_numpy(dtype=np.float64)
+        py = plat.to_numpy(dtype=np.float64)
+        n = len(px)
+        hits: list[list[str]] = [[] for _ in range(n)]
+        if n:
+            # candidate polygons for the whole batch's bbox, then exact
+            cands = idx.query(px.min(), py.min(), px.max(), py.max())
+            for ci in cands:
+                pid, ext, holes = pl[ci]
+                inside = G.points_in_polygon(px, py, G.Polygon(ext, holes))
+                for j in np.nonzero(inside)[0]:
+                    hits[j].append(pid)
+        return pd.Series(hits)
+
+    return _match(lon, lat)
+
+
+def broadcast_pip_join(spark: SparkSession, points: DataFrame,
+                       polygons: list[tuple[str, G.Polygon]],
+                       lon_col: str = "lon", lat_col: str = "lat",
+                       out_col: str = "admin_id", how: str = "inner") -> DataFrame:
+    """Attach one output row per (point, containing polygon).
+
+    how="inner": drop non-matching points; "left": keep them with NULL id.
+    """
+    matched = points.withColumn(
+        "__admins", pip_match_ids_column(spark, polygons, F.col(lon_col), F.col(lat_col))
+    )
+    exploder = F.explode if how == "inner" else F.explode_outer
+    return matched.withColumn(out_col, exploder("__admins")).drop("__admins")
+
+
+# ---------------------------------------------------------------------------
+# Salted kNN join (nearest neighbors among `data` for each row of `queries`)
+# ---------------------------------------------------------------------------
+
+def knn_join(data: DataFrame, queries: DataFrame, k: int,
+             data_id: str = "image_id", query_id: str = "query_id",
+             lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Exact k nearest data rows per query row (squared-degree distance).
+
+    Two-phase top-k, shaped for 10^12 data rows:
+      1. LOCAL phase — queries broadcast as a numpy array; `mapInPandas`
+         computes a (batch x Q) distance matrix per Arrow batch and emits
+         only each batch's top-k per query (argpartition). Zero shuffle,
+         zero join; survivor volume <= k x Q x n_batches.
+      2. GLOBAL phase — row_number window over the tiny survivor set.
+    The hash-uniform Arrow batching is the salting here: a hot metro cell
+    spreads across input splits, so no single task owns a hot query (the
+    reference's analog is its rayon work-stealing pool, processing.rs:78-96).
+    Ties break on data id (deterministic). Output columns:
+    query_id, rank, neighbor_id, dist2.
+    """
+    spark = data.sparkSession
+    qrows = queries.select(query_id, lon_col, lat_col).collect()
+    bc = spark.sparkContext.broadcast(
+        (
+            [r[0] for r in qrows],
+            np.array([r[1] for r in qrows], dtype=np.float64),
+            np.array([r[2] for r in qrows], dtype=np.float64),
+        )
+    )
+
+    def local_topk(pdfs):
+        qids, qlon, qlat = bc.value
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            dlon = pdf[lon_col].to_numpy(dtype=np.float64)
+            dlat = pdf[lat_col].to_numpy(dtype=np.float64)
+            dids = pdf[data_id].to_numpy()
+            # (N, Q) squared distances
+            dx = dlon[:, None] - qlon[None, :]
+            dy = dlat[:, None] - qlat[None, :]
+            d2 = dx * dx + dy * dy
+            kk = min(k, len(pdf))
+            top = np.argpartition(d2, kk - 1, axis=0)[:kk, :]  # (kk, Q)
+            qi = np.repeat(np.arange(len(qids)), kk)
+            di = top.T.reshape(-1)
+            yield pd.DataFrame({
+                query_id: np.array(qids, dtype=object)[qi],
+                "neighbor_id": dids[di],
+                "dist2": d2[di, qi],
+            })
+
+    survivors = data.select(data_id, lon_col, lat_col).mapInPandas(
+        local_topk, f"{query_id} string, neighbor_id string, dist2 double"
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col("neighbor_id").asc())
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", "neighbor_id", "dist2")
+    )

@@ -1,0 +1,71 @@
+"""Tile-pyramid rollup + skew-salted tile aggregation.
+
+The reference has no aggregation over data values (SURVEY §2.4); the graft
+adds per-tile stats and the z-1..0 pyramid (north rule). Parent coords are
+x>>1, y>>1 — so level z-1 derives from level z by one groupBy whose input is
+already the (much smaller) aggregated level z: total work is geometric in z.
+
+Skew: hot metro tiles concentrate rows on one shuffle key at the BASE level
+only. `tile_stats` therefore pre-aggregates with a salt (two-phase agg):
+partial per (tile, salt) — map-side combine keeps it narrow — then the final
+combine over n_salt rows per tile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tile_stats(df: DataFrame, n_salt: int = 0, salt_col: str = "image_id",
+               extra_aggs: dict | None = None) -> DataFrame:
+    """Per-(z,x,y) row count + byte sizes; optionally two-phase salted.
+
+    With n_salt>0: groupBy(z,x,y,salt) partial -> groupBy(z,x,y) combine.
+    Counts/sums are algebraic, so the two phases compose exactly.
+    """
+    base_aggs = {
+        "n_rows": F.count(F.lit(1)),
+        "bytes_in": F.sum(F.coalesce(F.length("bytes"), F.lit(0))),
+    }
+    if extra_aggs:
+        base_aggs.update(extra_aggs)
+    if n_salt <= 1:
+        return df.groupBy("z", "x", "y").agg(*[v.alias(k) for k, v in base_aggs.items()])
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_col), F.lit(n_salt)))
+    partial = salted.groupBy("z", "x", "y", "__salt").agg(
+        *[v.alias(f"__p_{k}") for k, v in base_aggs.items()]
+    )
+    return partial.groupBy("z", "x", "y").agg(
+        F.sum("__p_n_rows").alias("n_rows"),
+        F.sum("__p_bytes_in").alias("bytes_in"),
+        *[F.sum(f"__p_{k}").alias(k) for k in base_aggs if k not in ("n_rows", "bytes_in")],
+    )
+
+
+def pyramid_rollup(base: DataFrame, base_z: int, min_z: int = 0) -> DataFrame:
+    """Roll per-tile stats from base_z up to min_z; returns all levels unioned.
+
+    base must have (z, x, y, n_rows[, bytes_in]); each level z-1 aggregates
+    level z with x>>1, y>>1 — log2 pyramid, every step input is the previous
+    output (already tiny), so only the first groupBy touches base data.
+    """
+    agg_cols = [c for c in base.columns if c not in ("z", "x", "y")]
+    levels = [base]
+    cur = base
+    for z in range(base_z - 1, min_z - 1, -1):
+        cur = (
+            cur.select(
+                F.lit(z).cast("int").alias("z"),
+                F.shiftright("x", 1).alias("x"),
+                F.shiftright("y", 1).alias("y"),
+                *agg_cols,
+            )
+            .groupBy("z", "x", "y")
+            .agg(*[F.sum(c).alias(c) for c in agg_cols])
+        )
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

@@ -1,0 +1,91 @@
+"""End-to-end job: assign -> spatial join -> filter -> dedup -> rollup -> write.
+
+This is the Spark re-expression of the reference's whole dataflow
+(/root/reference/src/lib.rs:39-101 + src/processing.rs:18-129):
+  scan (S1/S2)            -> parquet scan of the images table
+  spatial prefilter (J1)  -> broadcast PIP bitmask (one Arrow UDF column)
+  feature filter (P4)     -> df.filter(~compiled_expr)
+  tag filter (P5)         -> F.map_filter
+  dict re-encode (A1)     -> parquet dictionary encoding at the sink
+  ordered write (S5/W1)   -> repartitionByRange(tile_id).sortWithinPartitions
+  metrics (A3)            -> df.observe named metrics + stats table
+
+One narrow UDF stage + exactly two shuffles (the range partition for the
+ordered sink; the dedup window) — the same stage shape at sf0.001 and 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tiling
+from ..operators import dedup as D
+from ..operators import filters as FL
+from ..operators import rollup as R
+
+
+@dataclass
+class PipelineResult:
+    assignments: DataFrame
+    survivors: DataFrame
+    deduped: DataFrame
+    stats: DataFrame
+    pyramid: DataFrame
+    observation: Observation | None = None
+    metrics: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    images: DataFrame,
+    program: FL.FilterProgram | None,
+    z: int = 10,
+    min_z: int = 0,
+    dedup: bool = True,
+    n_salt: int = 8,
+    output_path: str | None = None,
+    output_partitions: int | None = None,
+) -> PipelineResult:
+    """The flagship query (SURVEY §7.2 step 2), generalized."""
+    assigned = tiling.assign_tiles(images, z=z)
+
+    obs = Observation("pipeline")
+    assigned = assigned.observe(obs, F.count(F.lit(1)).alias("rows_in"))
+
+    if program is not None and program.features:
+        masked = assigned.withColumn(
+            "filter_mask",
+            FL.filter_mask_column(spark, program, F.col("lon"), F.col("lat")),
+        )
+        survivors = FL.apply_feature_filter(masked, program)
+        survivors = FL.apply_tag_filter(survivors, program)
+    else:
+        survivors = assigned.withColumn("filter_mask", F.lit(0).cast("long"))
+
+    deduped = D.phash_dedup(survivors) if dedup else survivors
+
+    stats = R.tile_stats(deduped, n_salt=n_salt)
+    pyramid = R.pyramid_rollup(
+        stats.select("z", "x", "y", "n_rows", "bytes_in"), base_z=z, min_z=min_z
+    )
+
+    if output_path is not None:
+        nparts = output_partitions or max(spark.sparkContext.defaultParallelism, 8)
+        (
+            deduped.repartitionByRange(nparts, "tile_id")
+            .sortWithinPartitions("tile_id")
+            .write.mode("overwrite")
+            .parquet(output_path)
+        )
+
+    return PipelineResult(
+        assignments=assigned,
+        survivors=survivors,
+        deduped=deduped,
+        stats=stats,
+        pyramid=pyramid,
+        observation=obs,
+    )

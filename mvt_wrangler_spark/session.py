@@ -46,6 +46,7 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # 128MB splits — matches large-cluster defaults for 100TB scans.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
