@@ -236,6 +236,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched H3/S2 cell encoding (rows-only: no SQL-expressible oracle;
+    pytest property suite covers hierarchy/locality/parity)."""
+    from mvt_wrangler_spark.functions import cells as C
+
+    pts = _points(spark, sf_dir)
+    return pts.select(
+        "id",
+        C.s2_cell_column(F.col("lat"), F.col("lon"), level=12).alias("s2_cell"),
+        C.h3_cell_column(F.col("lat"), F.col("lon"), res=7).alias("h3_cell"),
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs (rows-only check; pytest covers semantics)."""
     from mvt_wrangler_spark.operators import dedup as D
@@ -267,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_topk": q_ann_topk,
         "minhash_lsh": q_minhash_lsh,
+        "cell_encode": q_cell_encode,
     }
 
 

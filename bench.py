@@ -51,7 +51,13 @@ def main() -> None:
 
     import __spark_entry__ as e
 
-    spark = get_spark(master=f"local[{CPUS}]")
+    # 4MB splits: the sf0.1 files are a few MB, so default 128MB splits give
+    # 1-3 input partitions — a small-file artifact that would serialize 32
+    # cores. Real 100TB tables produce thousands of splits at the default.
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        extra={"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024)},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}

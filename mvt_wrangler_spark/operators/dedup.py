@@ -14,8 +14,11 @@ the bare tile.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def phash_dedup(df: DataFrame, keys: tuple[str, ...] = ("z", "x", "y", "phash"),
@@ -31,6 +34,20 @@ def phash_dedup(df: DataFrame, keys: tuple[str, ...] = ("z", "x", "y", "phash"),
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def phash_dedup_agg(df: DataFrame, keys: tuple[str, ...] = ("z", "x", "y", "phash"),
+                    order_col: str = "image_id", extra_aggs: dict | None = None) -> DataFrame:
+    """Keeper-id dedup via groupBy/min — same keeper semantics as phash_dedup
+    but with map-side partial aggregation and a narrow shuffle row (keys +
+    aggregates only, no full-row carry). Use when downstream needs keeper ids
+    and per-group stats rather than the full surviving rows: at 10^12 rows
+    the window variant shuffles every column, this one only the group keys.
+    """
+    aggs = [F.min(order_col).alias(f"keeper_{order_col}"), F.count(F.lit(1)).alias("n_dups")]
+    for name, expr in (extra_aggs or {}).items():
+        aggs.append(expr.alias(name))
+    return df.groupBy(*keys).agg(*aggs)
 
 
 def exact_dedup(df: DataFrame, on: str, order_col: str) -> DataFrame:
@@ -66,31 +83,72 @@ def minhash_signature(text_col, num_hashes: int = 32, shingle: int = 5):
     return F.array(*sigs)
 
 
+def minhash_band_buckets(text_col, num_hashes: int = 32, bands: int = 8, shingle: int = 5):
+    """array<long> of LSH band-bucket hashes — vectorized numpy pandas UDF.
+
+    Spark's higher-order fns (transform/aggregate) evaluate interpreted per
+    element (~100x slower than codegen), so the signature is computed in one
+    Arrow-batched numpy pass: rolling polynomial shingle hash (sliding window
+    dot product, uint64 wraparound) -> splitmix64 mix -> num_hashes affine
+    mins -> per-band mix. Deterministic; no library hash functions.
+    """
+    width = num_hashes // bands
+    P = np.uint64(2147483647)
+    A = np.array([2 * i + 1 for i in range(num_hashes)], dtype=np.uint64)
+    B = np.array([(i * 0x9E3779B9 + 7) % 2147483647 for i in range(num_hashes)], dtype=np.uint64)
+    K = np.uint64(1099511628211)  # FNV prime as polynomial base
+    POWS = np.empty(shingle, dtype=np.uint64)
+    acc = 1
+    for j in range(shingle):
+        POWS[j] = acc
+        acc = (acc * int(K)) % (1 << 64)
+
+    def _mix(x: np.ndarray) -> np.ndarray:
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    @pandas_udf("array<long>")
+    def _buckets(texts: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for t in texts:
+                b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+                if len(b) < shingle:
+                    b = np.pad(b, (0, shingle - len(b)), constant_values=32)
+                win = np.lib.stride_tricks.sliding_window_view(b, shingle).astype(np.uint64)
+                sh = _mix(win @ POWS)                      # (n_shingles,) u64
+                vals = ((sh[:, None] % P) * A + B) % P     # (n_shingles, H)
+                sig = vals.min(axis=0)                     # (H,)
+                bb = sig.reshape(bands, width)
+                bucket = _mix(
+                    bb @ POWS[:width] if width <= shingle
+                    else bb @ np.arange(1, width + 1, dtype=np.uint64)
+                )
+                bucket = (np.arange(bands, dtype=np.uint64) << np.uint64(56)) ^ bucket
+                out.append(bucket.astype(np.int64))
+        return pd.Series(out)
+
+    return _buckets(text_col)
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                            num_hashes: int = 32, bands: int = 8, shingle: int = 5) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
-    signature -> split into `bands` rows of width num_hashes/bands -> bucket
-    join on (band_idx, band_hash) -> distinct candidate id pairs (a < b).
-    The band join is a hash-uniform equi-join: scales as a standard shuffle.
+    band-bucket hashes (one numpy UDF pass) -> explode -> self equi-join on
+    bucket -> distinct candidate id pairs (a < b). The bucket join is a
+    hash-uniform equi-join: scales as a standard shuffle; band index is
+    folded into the bucket hash so one join covers all bands.
     """
-    width = num_hashes // bands
-    sig = df.select(F.col(id_col).alias("id"),
-                    minhash_signature(F.col(text_col), num_hashes, shingle).alias("sig"))
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(F.concat_ws(",", *[F.element_at("sig", i * width + j + 1).cast("string")
-                                              for j in range(width)]))
-                for i in range(bands)
-            ])
-        ).alias("band", "bucket"),
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(minhash_band_buckets(F.col(text_col), num_hashes, bands, shingle)).alias("bucket"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, on=["band", "bucket"])
+        a.join(b, on="bucket")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

@@ -48,9 +48,20 @@ def run_pipeline(
     n_salt: int = 8,
     output_path: str | None = None,
     output_partitions: int | None = None,
+    with_cells: bool = False,
+    h3_res: int = 7,
+    s2_level: int = 12,
 ) -> PipelineResult:
     """The flagship query (SURVEY §7.2 step 2), generalized."""
     assigned = tiling.assign_tiles(images, z=z)
+    if with_cells:
+        from ..functions import cells as C
+
+        assigned = assigned.withColumn(
+            "h3_cell", C.h3_cell_column(F.col("lat"), F.col("lon"), res=h3_res)
+        ).withColumn(
+            "s2_cell", C.s2_cell_column(F.col("lat"), F.col("lon"), level=s2_level)
+        )
 
     obs = Observation("pipeline")
     assigned = assigned.observe(obs, F.count(F.lit(1)).alias("rows_in"))

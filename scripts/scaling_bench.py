@@ -1,0 +1,126 @@
+"""N vs 4N scaling evidence (north rule; sandbox stand-in per task instructions).
+
+Generates a one-time deterministic points table sized so the local[8] run
+takes >= 60 s (BASELINE.md protocol), then runs the flagship pipeline at
+local[8] and local[32] in SEPARATE processes (fresh JVM each — no shared JIT
+warmup or page-cache bias beyond the OS cache, which both sides share), 3
+runs each, median. Writes BENCH/BASELINE.md + BENCH/scaling.json.
+
+Usage: python scripts/scaling_bench.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+DATA = "/tmp/spark_graft_bench"
+
+
+def generate(n_rows: int) -> str:
+    path = f"{DATA}/points_{n_rows}.parquet"
+    if os.path.exists(path + "/_SUCCESS"):
+        return path
+    from pyspark.sql import functions as F
+
+    from mvt_wrangler_spark.session import get_spark
+    from mvt_wrangler_spark.sources import images as I
+
+    spark = get_spark(master="local[32]", app_name="scaling-gen")
+    spark.sparkContext.setLogLevel("ERROR")
+    ids = spark.range(0, n_rows, 1, 64)
+    # same hot-spot mixture as the images table, column-math edition:
+    # 80% gaussian around metros (Box-Muller on two splitmix-derived uniforms)
+    h = F.xxhash64(F.col("id"))
+    u1 = (F.pmod(h, F.lit(1 << 20)).cast("double") + 0.5) / float(1 << 20)
+    u2 = (F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(1 << 20)).cast("double") + 0.5) / float(1 << 20)
+    r = F.sqrt(-2.0 * F.log(u1))
+    gx = r * F.cos(u2 * 2.0 * 3.141592653589793)
+    gy = r * F.sin(u2 * 2.0 * 3.141592653589793)
+    sel = F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(100))
+    midx = F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(len(I.METROS))).cast("int")
+    mlon = F.element_at(F.array(*[F.lit(m[0]) for m in I.METROS]), midx + 1)
+    mlat = F.element_at(F.array(*[F.lit(m[1]) for m in I.METROS]), midx + 1)
+    lon = F.when(sel < 80, mlon + 0.05 * gx).otherwise(u1 * 360.0 - 180.0)
+    lat = F.when(sel < 80, mlat + 0.05 * gy).otherwise(u2 * 170.0 - 85.0)
+    kinds = list(I.KIND_CYCLE)
+    kind = F.element_at(F.array(*[F.lit(k) for k in kinds]),
+                        F.pmod(F.col("id"), F.lit(len(kinds))).cast("int") + 1)
+    layer = F.element_at(F.array(*[F.lit(I.KIND_LAYER[k]) for k in kinds]),
+                         F.pmod(F.col("id"), F.lit(len(kinds))).cast("int") + 1)
+    df = ids.select(
+        F.format_string("img%012d", F.col("id")).alias("image_id"),
+        ((F.pmod(lon + 180.0, F.lit(360.0))) - 180.0).alias("lon"),
+        F.greatest(F.lit(-I.MERC_LAT_LIMIT), F.least(F.lit(I.MERC_LAT_LIMIT), lat)).alias("lat"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(4)), F.lit(n_rows // 4)).alias("phash"),
+        kind.alias("kind"),
+        layer.alias("layer"),
+        F.map_from_arrays(
+            F.array(F.lit("name"), F.lit("name:ja"), F.lit("name:fr"),
+                    F.lit("pgf:name:ja"), F.lit("kind")),
+            F.array(kind, kind, kind, kind, kind),
+        ).alias("tags"),
+    )
+    df.write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def measure(master: str, ncpus: int, path: str, n_runs: int = 5) -> dict:
+    """Pin the whole process tree (JVM + Python UDF workers) to `ncpus` cores.
+
+    Without the taskset pin, a local[8] session's Python workers spill onto
+    the other 24 cores, silently turning the '8-core' run into a ~16-core
+    one and corrupting the N-vs-4N efficiency measurement. First run is JIT
+    warmup and excluded by the median over the remaining runs.
+    """
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="24g")
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{ncpus - 1}", sys.executable,
+         "/root/repo/scripts/scaling_run.py", master, path, str(n_runs)],
+        capture_output=True, text=True, timeout=3600, env=env,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    r = json.loads(line)
+    r["runs"] = r["runs"][2:]  # drop 2 warmups (JIT + python worker pool)
+    return r
+
+
+def main():
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    t0 = time.time()
+    path = generate(n_rows)
+    print(f"data ready in {time.time()-t0:.0f}s: {path}", file=sys.stderr)
+
+    results = {}
+    for master, ncpus in (("local[8]", 8), ("local[32]", 32)):
+        r = measure(master, ncpus, path)
+        med = statistics.median(x["sec"] for x in r["runs"])
+        results[master] = {
+            "median_sec": med,
+            "rows_per_sec": round(n_rows / med, 1),
+            "runs": r["runs"],
+        }
+        print(master, results[master], file=sys.stderr)
+
+    eff = results["local[32]"]["rows_per_sec"] / results["local[8]"]["rows_per_sec"] / 4.0
+    payload = {
+        "n_rows": n_rows,
+        "pipeline": "assign(z10) + PIP mask + feature filter + tag filter + phash dedup",
+        "results": results,
+        "scaling_efficiency_8_to_32": round(eff, 3),
+    }
+    with open("/root/repo/BENCH/scaling.json", "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

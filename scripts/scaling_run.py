@@ -1,0 +1,58 @@
+"""One scaling measurement in a fresh JVM: flagship pipeline at a given master.
+
+Usage: python scripts/scaling_run.py <master> <points_parquet> [n_runs]
+Prints one JSON line {"master":..., "runs":[{"sec":..., "rows_in":..., "rows_out":...}]}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    master, path = sys.argv[1], sys.argv[2]
+    n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    from pyspark.sql import functions as F
+
+    from mvt_wrangler_spark.functions import tiling
+    from mvt_wrangler_spark.operators import dedup as D
+    from mvt_wrangler_spark.operators import filters as FL
+    from mvt_wrangler_spark.session import get_spark
+    from mvt_wrangler_spark.sources.fixtures import default_filter_geojson
+
+    spark = get_spark(master=master, app_name=f"scaling-{master}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pts = spark.read.parquet(path)
+    rows_in = pts.count()  # warm the page cache; not measured
+
+    program = FL.FilterProgram.from_geojson(default_filter_geojson())
+    runs = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        masked = pts.withColumn(
+            "filter_mask", FL.filter_mask_column(spark, program, F.col("lon"), F.col("lat")))
+        surv = FL.apply_feature_filter(masked, program)
+        surv = FL.apply_tag_filter(surv, program)
+        assigned = tiling.assign_tiles(surv, z=10, with_local=False)
+        # agg-based dedup: map-side combine, narrow shuffle rows; the
+        # sum(size(tags)) agg consumes the tag filter's output so Catalyst
+        # can't prune the map_filter away.
+        deduped = D.phash_dedup_agg(
+            assigned, keys=("z", "x", "y", "phash"), order_col="image_id",
+            extra_aggs={"tag_n": F.sum(F.size("tags"))},
+        )
+        rows_out = deduped.count()
+        runs.append({"sec": round(time.time() - t0, 3), "rows_in": rows_in, "rows_out": rows_out})
+
+    print(json.dumps({"master": master, "runs": runs}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

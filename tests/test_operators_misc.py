@@ -1,0 +1,133 @@
+"""Zonal assignment, metrics/lineage, streaming shape, CLI, dedup variants."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mvt_wrangler_spark.functions import metrics as M
+from mvt_wrangler_spark.functions import tiling
+from mvt_wrangler_spark.operators import dedup as D
+from mvt_wrangler_spark.operators import zonal as Z
+from mvt_wrangler_spark.sources import images as I
+
+
+@pytest.mark.spark
+def test_zonal_stats_matches_numpy(spark):
+    df = I.synthetic_images(spark, 60, with_pixels=True, partitions=2)
+    assigned = tiling.assign_tiles(df, z=10, with_local=False)
+    out = Z.zonal_stats(assigned, gx=2, gy=2).collect()
+    assert len(out) == 60 * 4
+    by_key = {(r.image_id, r.zone): r for r in out}
+    rows = {r.image_id: r for r in assigned.collect()}
+    for i in (1, 2, 17, 34):
+        rid = f"img{i:09d}"
+        r = rows[rid]
+        px = I.decode(bytes(r.bytes), r.fmt, r.w, r.h)
+        counts, means = Z._block_reduce(px, 2, 2)
+        for zidx in range(4):
+            got = by_key[(rid, zidx)]
+            assert got.n_px == counts[zidx]
+            assert abs(got.mean_r - means[zidx, 0]) < 1e-9
+            assert (got.z, got.x, got.y) == (r.z, r.x, r.y)
+    # pixel conservation: zones partition the image exactly
+    for rid, r in rows.items():
+        tot = sum(by_key[(rid, zz)].n_px for zz in range(4))
+        assert tot == r.w * r.h
+
+
+@pytest.mark.spark
+def test_dedup_agg_matches_window(spark):
+    df = I.synthetic_images(spark, 400, with_pixels=False, partitions=2)
+    a = tiling.assign_tiles(df, z=6, with_local=False)
+    win = {(r.z, r.x, r.y, r.phash): r.image_id
+           for r in D.phash_dedup(a).select("z", "x", "y", "phash", "image_id").collect()}
+    agg = {(r.z, r.x, r.y, r.phash): r.keeper_image_id
+           for r in D.phash_dedup_agg(a).collect()}
+    assert win == agg
+
+
+@pytest.mark.spark
+def test_observed_metrics_and_lineage(spark):
+    df = I.synthetic_images(spark, 300, with_pixels=False, partitions=3)
+    a = tiling.assign_tiles(df, z=4, with_local=False)
+    # DISTINCT aggregates are disallowed in observed metrics -> approx sketch
+    obs_df, obs = M.observed(a, "m", rows=F.count(F.lit(1)),
+                             tiles=F.approx_count_distinct("tile_id"))
+    n = obs_df.count()
+    assert obs.get["rows"] == n == 300
+    assert obs.get["tiles"] > 1
+    lin = M.tile_lineage(a).collect()
+    assert sum(r.n_rows for r in lin) == 300
+    assert all(r.partition_id >= 0 for r in lin)
+
+
+@pytest.mark.spark
+def test_streaming_windowed_counts(spark, tmp_path):
+    """Run the streaming agg via a rate-less memory stream: batch-parity check."""
+    from mvt_wrangler_spark.streaming.stream import snapshot_sink, windowed_tile_counts
+
+    src = str(tmp_path / "src")
+    df = I.synthetic_images(spark, 200, with_pixels=False, partitions=2).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.xxhash64("image_id") % 7200))
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = windowed_tile_counts(stream, z=4, ts_col="ts", window="1 hour")
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("tile_counts").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n_rows) AS s FROM tile_counts").collect()[0].s
+    assert got == 200
+    # batch parity
+    batch = (tiling.assign_tiles(spark.read.parquet(src), z=4)
+             .groupBy(F.window("ts", "1 hour"), "z", "x", "y")
+             .agg(F.count(F.lit(1)).alias("n_rows")))
+    want = {(r["window"].start, r.z, r.x, r.y): r.n_rows for r in batch.collect()}
+    rows = spark.sql("SELECT * FROM tile_counts").collect()
+    got_map = {(r.window_start, r.z, r.x, r.y): r.n_rows for r in rows}
+    assert got_map == want
+
+
+def test_cli_end_to_end(tmp_path):
+    """Drive the real CLI surface in a subprocess (fresh JVM)."""
+    src = tmp_path / "in.parquet"
+    out = tmp_path / "out"
+    prog = tmp_path / "filter.geojson"
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from mvt_wrangler_spark.session import get_spark\n"
+        "from mvt_wrangler_spark.sources import images as I\n"
+        "s = get_spark(master='local[4]', shuffle_partitions=8)\n"
+        f"I.synthetic_images(s, 400, with_pixels=False, partitions=2).write.parquet('{src}')\n"
+        "s.stop()\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, capture_output=True, timeout=300)
+    from mvt_wrangler_spark.sources.fixtures import default_filter_geojson
+
+    prog.write_text(json.dumps(default_filter_geojson()))
+    r = subprocess.run(
+        [sys.executable, "-m", "mvt_wrangler_spark.cli", str(src), str(out),
+         "--filter", str(prog), "--zoom", "8", "--buckets", "4",
+         "--master", "local[4]", "-n", "testset", "--job-id", "t1"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rows_out"] > 0 and summary["snapshot"] == 1
+    meta = json.loads((out / "metadata.json").read_text())
+    assert meta["name"] == "testset" and meta["zoom"] == 8
+    assert (out / "CURRENT").read_text().strip() == "1"
+    assert (out / "stats").exists() and (out / "pyramid").exists()
+
+
+def test_cli_rejects_missing_input(tmp_path):
+    from mvt_wrangler_spark.cli import main
+
+    assert main(["/nonexistent/x.parquet", str(tmp_path / "o")]) == 2
