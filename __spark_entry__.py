@@ -249,6 +249,95 @@ def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — lag + cumulative-sum windows."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # exact integer microseconds
+    gap = us - F.lag(us).over(w)
+    bounded = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0))
+    sess = bounded.withColumn("session_n", F.sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "session_n")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "session_start", "n_events")
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality heuristics: token stats + stopword/punct ratios."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    nospace = F.length(F.regexp_replace("text", r"\s", ""))
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    stop_hits = (F.length(padded) - F.length(F.replace(padded, F.lit(" the "), F.lit("")))) / 5 \
+        + (F.length(padded) - F.length(F.replace(padded, F.lit(" and "), F.lit("")))) / 5
+    return docs.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        F.round(nospace.cast("double") / toks, 6).alias("mean_tok_len"),
+        F.round(stop_hits.cast("double") / toks, 6).alias("stop_ratio"),
+    )
+
+
+def q_distinct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-phash count per tile (dedup audit)."""
+    from mvt_wrangler_spark.functions import tiling
+
+    pts = tiling.assign_tiles(_points(spark, sf_dir), z=6, with_local=False)
+    return pts.groupBy("x", "y").agg(F.countDistinct("phash").alias("n_phash"))
+
+
+def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per type (ranking window)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "event_id", "value")
+    )
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (quantized, exact integer test).
+
+    Brute-force all-pairs here (2k vectors); the scale path buckets by an
+    LSH of the dominant dimensions first — see operators/dedup.py notes.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = F.transform("embedding", lambda x: F.round(x.cast("double") * 100).cast("long"))
+    e = emb.select(F.col("vec_id").alias("id"), qv.alias("q"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v)
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
+    score = dot(F.col("a.q"), F.col("b.q"))
+    na = dot(F.col("a.q"), F.col("a.q"))
+    nb = dot(F.col("b.q"), F.col("b.q"))
+    # cos > 0.4 (the synthetic embeddings' near-dup band; exact integer test)
+    cond = (score > 0) & (score * score * 100 > F.lit(16) * na * nb)
+    return pairs.filter(cond).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+
+
+def q_tile_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile blob encode (first-seen-order dictionaries; rows-only check —
+    blob bytes aren't SQL-expressible; pytest decodes and verifies)."""
+    from mvt_wrangler_spark.functions import tiling
+    from mvt_wrangler_spark.operators import tile_encode as TE
+
+    pts = _points(spark, sf_dir).withColumn(
+        "tags", F.create_map(F.lit("kind"), F.col("kind")))
+    pts = pts.withColumn("image_id", F.col("id").cast("string"))
+    assigned = tiling.assign_tiles(pts, z=6)
+    return TE.encode_tiles(assigned).select("z", "x", "y", "tile_id", "n_features", "data")
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs (rows-only check; pytest covers semantics)."""
     from mvt_wrangler_spark.operators import dedup as D
@@ -281,6 +370,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "minhash_lsh": q_minhash_lsh,
         "cell_encode": q_cell_encode,
+        "sessionize": q_sessionize,
+        "quality_score": q_quality_score,
+        "distinct_phash": q_distinct_phash,
+        "topk_events": q_topk_events,
+        "embed_neardup": q_embed_neardup,
+        "tile_encode": q_tile_encode,
     }
 
 
@@ -427,8 +522,64 @@ SELECT qid, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, CAST(score AS BIGI
 FROM r WHERE rank <= 5
 """
 
+    sessionize = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS session_n FROM g)
+SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_n
+"""
+
+    quality = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+         length(regexp_replace(text, '\s', '', 'g')) AS nospace,
+         (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5 AS stop_hits
+  FROM documents)
+SELECT doc_id, n_tokens,
+       round(CAST(nospace AS DOUBLE) / n_tokens, 6) AS mean_tok_len,
+       round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stop_ratio
+FROM t
+"""
+
+    distinct_phash = (
+        "WITH " + f"__pts AS ({POINTS_SQL}), "
+        + f"__xy AS (SELECT phash, {tile_x_sql('lon', 6)} AS x, {tile_y_sql('lat', 6)} AS y FROM __pts) "
+        + "SELECT x, y, CAST(count(DISTINCT phash) AS BIGINT) AS n_phash FROM __xy GROUP BY 1, 2"
+    )
+
+    topk_events = """
+SELECT event_type, CAST(rank AS INT) AS rank, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
+  FROM events) WHERE rank <= 3
+"""
+
+    embed_neardup = """
+WITH e AS (SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS q
+           FROM embeddings),
+p AS (SELECT a.id AS id_a, b.id AS id_b,
+             list_sum(list_transform(generate_series(1, 64), i -> a.q[i] * b.q[i])) AS score,
+             list_sum(list_transform(generate_series(1, 64), i -> a.q[i] * a.q[i])) AS na,
+             list_sum(list_transform(generate_series(1, 64), i -> b.q[i] * b.q[i])) AS nb
+      FROM e a, e b WHERE a.id < b.id)
+SELECT id_a, id_b FROM p WHERE score > 0 AND score * score * 100 > 16 * na * nb
+"""
+
     return {
         "tile_assign": tile_assign,
+        "sessionize": sessionize,
+        "quality_score": quality,
+        "distinct_phash": distinct_phash,
+        "topk_events": topk_events,
+        "embed_neardup": embed_neardup,
         "tile_local": tile_local,
         "pyramid_rollup": pyramid,
         "tile_stats_salted": tile_stats,

@@ -1,0 +1,72 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images are fully implemented (sources/images.py: decode/encode/phash/PSNR in
+numpy). Audio/video decode require codec libraries absent from this
+environment; per the build contract they are STUBBED behind
+NotImplementedError with the Spark-side plumbing — schema, partitioning, UDF
+signature, Arrow batch shape — real and tested. A deterministic fake decoder
+exercises the full path end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+AUDIO_META_SCHEMA = "media_id string, sample_rate int, n_samples bigint, channels int"
+FRAME_SAMPLE_SCHEMA = (
+    "media_id string, frame_idx int, ts_ms bigint, h int, w int, mean_luma double"
+)
+
+
+def decode_audio(data: bytes, fmt: str) -> np.ndarray:
+    """Audio decode stub: no codec libs (ffmpeg/soundfile) in this env."""
+    if fmt == "pcm16":  # the one fmt we CAN decode: raw little-endian PCM
+        return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    raise NotImplementedError(
+        f"audio codec {fmt!r} needs an external decoder; only raw 'pcm16' is "
+        "supported in this environment")
+
+
+def decode_video_frame(data: bytes, fmt: str, frame_idx: int) -> np.ndarray:
+    """Video decode stub — same contract as decode_audio."""
+    raise NotImplementedError(
+        f"video codec {fmt!r} needs ffmpeg; the sampling plumbing below is "
+        "exercised with the deterministic fake decoder")
+
+
+def _fake_frames(media_id: str, n_frames: int, h: int = 8, w: int = 8) -> np.ndarray:
+    """Deterministic fake video: (n, h, w) luma planes derived from the id."""
+    seed = np.frombuffer(media_id.encode()[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+    idx = (np.arange(n_frames * h * w, dtype=np.uint64) + seed * np.uint64(2654435761))
+    x = (idx ^ (idx >> np.uint64(13))) * np.uint64(0x9E3779B97F4A7C15)
+    return ((x >> np.uint64(56)).astype(np.uint8)).reshape(n_frames, h, w)
+
+
+def sample_frames(media_df: DataFrame, every_ms: int = 1000, fps: float = 30.0,
+                  decoder=None) -> DataFrame:
+    """Frame sampling over a video table (media_id, bytes, fmt, duration_ms).
+
+    `decoder(media_id, n_frames)` -> (n, h, w) uint8 luma; defaults to the
+    deterministic fake so the Spark plumbing is testable without codecs.
+    Swapping in a real ffmpeg-backed decoder changes nothing Spark-side.
+    """
+    decoder = decoder or (lambda mid, n: _fake_frames(mid, n))
+
+    def _sample(pdfs):
+        for pdf in pdfs:
+            out = {k: [] for k in ("media_id", "frame_idx", "ts_ms", "h", "w", "mean_luma")}
+            for row in pdf.itertuples(index=False):
+                n_frames = max(1, int(row.duration_ms // every_ms))
+                frames = decoder(row.media_id, n_frames)
+                for i in range(n_frames):
+                    out["media_id"].append(row.media_id)
+                    out["frame_idx"].append(int(i * fps * every_ms / 1000.0))
+                    out["ts_ms"].append(i * every_ms)
+                    out["h"].append(frames.shape[1])
+                    out["w"].append(frames.shape[2])
+                    out["mean_luma"].append(float(frames[i].mean()))
+            yield pd.DataFrame(out)
+
+    return media_df.select("media_id", "duration_ms").mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)

@@ -47,6 +47,12 @@ def get_spark(
         # 128MB splits — matches large-cluster defaults for 100TB scans.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.session.timeZone", "UTC")
+        # Shuffle spill dir: the sandbox's /tmp is one shared block device,
+        # which serializes concurrent shuffle writers (negative core-scaling);
+        # a real cluster has per-node SSDs. tmpfs is the faithful local stand-in.
+        .config("spark.local.dir", os.environ.get(
+            "SPARK_GRAFT_LOCAL_DIR",
+            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -72,7 +72,7 @@ def generate(n_rows: int) -> str:
     return path
 
 
-def measure(master: str, ncpus: int, path: str, n_runs: int = 5) -> dict:
+def measure(master: str, ncpus: int, path: str, n_runs: int = 5, mode: str = "full") -> dict:
     """Pin the whole process tree (JVM + Python UDF workers) to `ncpus` cores.
 
     Without the taskset pin, a local[8] session's Python workers spill onto
@@ -83,7 +83,7 @@ def measure(master: str, ncpus: int, path: str, n_runs: int = 5) -> dict:
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="24g")
     out = subprocess.run(
         ["taskset", "-c", f"0-{ncpus - 1}", sys.executable,
-         "/root/repo/scripts/scaling_run.py", master, path, str(n_runs)],
+         "/root/repo/scripts/scaling_run.py", master, path, str(n_runs), mode],
         capture_output=True, text=True, timeout=3600, env=env,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
@@ -99,24 +99,27 @@ def main():
     path = generate(n_rows)
     print(f"data ready in {time.time()-t0:.0f}s: {path}", file=sys.stderr)
 
-    results = {}
-    for master, ncpus in (("local[8]", 8), ("local[32]", 32)):
-        r = measure(master, ncpus, path)
-        med = statistics.median(x["sec"] for x in r["runs"])
-        results[master] = {
-            "median_sec": med,
-            "rows_per_sec": round(n_rows / med, 1),
-            "runs": r["runs"],
+    payload = {"n_rows": n_rows, "scenarios": {}}
+    for mode, desc in (
+        ("full", "assign(z10) + PIP mask + feature/tag filter + H3/S2 encode + phash dedup agg"),
+        ("compute", "same minus high-cardinality dedup (per-tile stats agg instead)"),
+    ):
+        results = {}
+        for master, ncpus in (("local[8]", 8), ("local[32]", 32)):
+            r = measure(master, ncpus, path, mode=mode)
+            med = statistics.median(x["sec"] for x in r["runs"])
+            results[master] = {
+                "median_sec": med,
+                "rows_per_sec": round(n_rows / med, 1),
+                "runs": r["runs"],
+            }
+            print(mode, master, results[master], file=sys.stderr)
+        eff = results["local[32]"]["rows_per_sec"] / results["local[8]"]["rows_per_sec"] / 4.0
+        payload["scenarios"][mode] = {
+            "pipeline": desc,
+            "results": results,
+            "scaling_efficiency_8_to_32": round(eff, 3),
         }
-        print(master, results[master], file=sys.stderr)
-
-    eff = results["local[32]"]["rows_per_sec"] / results["local[8]"]["rows_per_sec"] / 4.0
-    payload = {
-        "n_rows": n_rows,
-        "pipeline": "assign(z10) + PIP mask + feature filter + tag filter + phash dedup",
-        "results": results,
-        "scaling_efficiency_8_to_32": round(eff, 3),
-    }
     with open("/root/repo/BENCH/scaling.json", "w") as f:
         json.dump(payload, f, indent=2)
     print(json.dumps(payload))

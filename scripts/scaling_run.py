@@ -16,6 +16,7 @@ sys.path.insert(0, "/root/repo")
 def main():
     master, path = sys.argv[1], sys.argv[2]
     n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    mode = sys.argv[4] if len(sys.argv) > 4 else "full"
 
     from pyspark.sql import functions as F
 
@@ -40,14 +41,31 @@ def main():
         surv = FL.apply_feature_filter(masked, program)
         surv = FL.apply_tag_filter(surv, program)
         assigned = tiling.assign_tiles(surv, z=10, with_local=False)
-        # agg-based dedup: map-side combine, narrow shuffle rows; the
-        # sum(size(tags)) agg consumes the tag filter's output so Catalyst
-        # can't prune the map_filter away.
-        deduped = D.phash_dedup_agg(
-            assigned, keys=("z", "x", "y", "phash"), order_col="image_id",
-            extra_aggs={"tag_n": F.sum(F.size("tags"))},
-        )
-        rows_out = deduped.count()
+        # north-star operator set: batched H3 + S2 cell encoding per row
+        from mvt_wrangler_spark.functions import cells as C
+
+        assigned = assigned.withColumn(
+            "h3_cell", C.h3_cell_column(F.col("lat"), F.col("lon"), res=7)
+        ).withColumn("s2_cell", C.s2_cell_column(F.col("lat"), F.col("lon"), level=12))
+        if mode == "full":
+            # agg-based dedup: map-side combine, narrow shuffle rows; the
+            # sum(size(tags)) agg consumes the tag filter's output so Catalyst
+            # can't prune the map_filter away (same for the cell columns).
+            out = D.phash_dedup_agg(
+                assigned, keys=("z", "x", "y", "phash"), order_col="image_id",
+                extra_aggs={"tag_n": F.sum(F.size("tags")),
+                            "h3_n": F.max("h3_cell"), "s2_n": F.max("s2_cell")},
+            )
+            rows_out = out.count()
+        else:
+            # compute scenario: same scan/UDF/filter/encode work, but the
+            # final agg is low-cardinality (per-tile stats) — isolates engine
+            # scaling from the single-VM memory-bus ceiling that a
+            # high-cardinality (~1 group/row) dedup agg hits locally.
+            out = assigned.groupBy("x", "y").agg(
+                F.count(F.lit(1)).alias("n"), F.sum(F.size("tags")).alias("tag_n"),
+                F.max("h3_cell").alias("h3_n"), F.max("s2_cell").alias("s2_n"))
+            rows_out = out.count()
         runs.append({"sec": round(time.time() - t0, 3), "rows_in": rows_in, "rows_out": rows_out})
 
     print(json.dumps({"master": master, "runs": runs}))
