@@ -247,3 +247,164 @@ def h3_cell_column(lat: Column, lng: Column, res: int = 7) -> Column:
         return pd.Series(h3_cell(la.to_numpy(np.float64), ln.to_numpy(np.float64), res))
 
     return _enc(lat, lng)
+
+
+# ---------------------------------------------------------------------------
+# Native (pure-Catalyst) encoders: same math as the numpy kernels above but
+# emitted as chained column projections — whole-stage codegen, no Arrow
+# round trip. A pandas UDF costs ~24B/row of JVM<->Python traffic per call,
+# which saturates a node's memory bus long before its cores; these scale
+# with cores like any other codegen expression. The numpy twins remain the
+# test oracle (tests assert bit-equality on sampled points).
+# ---------------------------------------------------------------------------
+
+def with_s2_cell_native(df, level: int = 12, lat: str = "lat", lng: str = "lng",
+                        out: str = "s2_cell"):
+    """S2 cell id as column math: xyz -> face/uv -> st -> ij -> Hilbert."""
+    from pyspark.sql import functions as F
+
+    la, ln = F.radians(F.col(lat)), F.radians(F.col(lng))
+    df = df.withColumns({
+        "__sx": F.cos(la) * F.cos(ln),
+        "__sy": F.cos(la) * F.sin(ln),
+        "__sz": F.sin(la),
+    })
+    ax, ay, az = F.abs(F.col("__sx")), F.abs(F.col("__sy")), F.abs(F.col("__sz"))
+    base = (
+        F.when((ax >= ay) & (ax >= az), F.lit(0))
+        .when(ay >= az, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    comp = (
+        F.when(base == 0, F.col("__sx")).when(base == 1, F.col("__sy")).otherwise(F.col("__sz"))
+    )
+    df = df.withColumn("__face", F.when(comp < 0, base + 3).otherwise(base))
+    x, y, z, f = F.col("__sx"), F.col("__sy"), F.col("__sz"), F.col("__face")
+    u = (
+        F.when(f == 0, y / x).when(f == 1, -x / y).when(f == 2, -x / z)
+        .when(f == 3, z / x).when(f == 4, z / y).otherwise(-y / z)
+    )
+    v = (
+        F.when(f == 0, z / x).when(f == 1, z / y).when(f == 2, -y / z)
+        .when(f == 3, y / x).when(f == 4, -x / y).otherwise(-x / z)
+    )
+
+    def st(c):
+        return F.when(c >= 0, 0.5 * F.sqrt(1.0 + 3.0 * c)).otherwise(
+            1.0 - 0.5 * F.sqrt(1.0 - 3.0 * c))
+
+    lim = (1 << _MAX_LEVEL) - 1
+    df = df.withColumns({
+        "__si": F.greatest(F.lit(0), F.least(F.lit(lim),
+                F.floor(st(u) * float(1 << _MAX_LEVEL)))).cast("long"),
+        "__sj": F.greatest(F.lit(0), F.least(F.lit(lim),
+                F.floor(st(v) * float(1 << _MAX_LEVEL)))).cast("long"),
+        "__orient": F.col("__face").cast("long").bitwiseAND(F.lit(1)),
+        "__pos": F.lit(0).cast("long"),
+    })
+    # per-level Hilbert step. The 4x4 lookup tables pack into single integer
+    # literals (2 bits/entry) — p = (LUT >> 2*(orient*4 + ij)) & 3 — so each
+    # level is a handful of int ops, not a 16-branch CASE (big CASE chains
+    # blow the JIT method limit and fall back to interpreted eval).
+    # Only `level` iterations are needed: deeper bits are cleared by the
+    # truncation; pre-shift pos to its final position afterwards.
+    lut_ij2pos = sum(int(_IJ_TO_POS[o][ij]) << (2 * (o * 4 + ij))
+                     for o in range(4) for ij in range(4))
+    lut_pos2orient = sum(int(_POS_TO_ORIENT[p]) << (2 * p) for p in range(4))
+    for k in range(_MAX_LEVEL - 1, _MAX_LEVEL - 1 - level, -1):
+        ij = (F.shiftright(F.col("__si"), k).bitwiseAND(F.lit(1)) * 2
+              + F.shiftright(F.col("__sj"), k).bitwiseAND(F.lit(1)))
+        df = df.withColumn("__ij", ij)
+        # variable-distance shift needs the SQL form (F.shiftright takes a
+        # literal count only)
+        df = df.withColumn(
+            "__p",
+            F.expr(f"shiftright(cast({lut_ij2pos} as bigint), cast((__orient * 4 + __ij) * 2 as int)) & 3"),
+        )
+        df = df.withColumns({
+            "__pos": F.shiftleft(F.col("__pos"), 2).bitwiseOR(F.col("__p")),
+            "__orient": F.col("__orient").bitwiseXOR(
+                F.expr(f"shiftright(cast({lut_pos2orient} as bigint), cast(__p * 2 as int)) & 3")),
+        })
+    pos_full = F.shiftleft(F.col("__pos"), 2 * (_MAX_LEVEL - level))
+    cell = F.shiftleft(F.col("__face").cast("long"), 61) \
+        .bitwiseOR(F.shiftleft(pos_full, 1)).bitwiseOR(F.lit(1))
+    if level < _MAX_LEVEL:
+        lsb = 1 << (2 * (_MAX_LEVEL - level))
+        cell = cell.bitwiseAND(F.lit(-lsb).cast("long")).bitwiseOR(F.lit(lsb).cast("long"))
+    return df.withColumn(out, cell).drop(
+        "__sx", "__sy", "__sz", "__face", "__si", "__sj", "__orient", "__pos", "__p", "__ij")
+
+
+def with_h3_cell_native(df, res: int = 7, lat: str = "lat", lng: str = "lng",
+                        out: str = "h3_cell"):
+    """H3-style cell id as column math: face argmax -> gnomonic -> hex round."""
+    from pyspark.sql import functions as F
+
+    la, ln = F.radians(F.col(lat)), F.radians(F.col(lng))
+    df = df.withColumns({
+        "__hx3": F.cos(la) * F.cos(ln),
+        "__hy3": F.cos(la) * F.sin(ln),
+        "__hz3": F.sin(la),
+    })
+    x, y, z = F.col("__hx3"), F.col("__hy3"), F.col("__hz3")
+    # argmax over the 20 face centers: materialize each dot ONCE as a column
+    # (a CASE over un-materialized dots duplicates every product 20x), then
+    # array_position on the max.
+    dot_cols = {f"__d{i}": x * float(c[0]) + y * float(c[1]) + z * float(c[2])
+                for i, c in enumerate(_H3_CENTERS)}
+    df = df.withColumns(dot_cols)
+    darr = F.array(*[F.col(f"__d{i}") for i in range(len(_H3_CENTERS))])
+    df = df.withColumn(
+        "__hface",
+        (F.array_position(darr, F.array_max(darr)) - 1).cast("int"),
+    ).drop(*dot_cols.keys())
+    # gnomonic projection per face: constants via element_at on array
+    # literals (one index op instead of a 20-branch CASE per constant)
+    fcol = F.col("__hface")
+
+    def pick(vals):
+        return F.element_at(F.array(*[F.lit(float(v)) for v in vals]), fcol + 1)
+
+    cx, cy, cz = (pick(_H3_CENTERS[:, j]) for j in range(3))
+    e1xc, e1yc, e1zc = (pick(_H3_E1[:, j]) for j in range(3))
+    e2xc, e2yc, e2zc = (pick(_H3_E2[:, j]) for j in range(3))
+    dot = x * cx + y * cy + z * cz
+    qx, qy, qz = x / dot - cx, y / dot - cy, z / dot - cz
+    px = qx * e1xc + qy * e1yc + qz * e1zc
+    py = qx * e2xc + qy * e2yc + qz * e2zc
+    theta = res * float(_ROT7)
+    scale = float(_RES0_SCALE * _SQRT7 ** res)
+    import math as _m
+
+    ca, sa = _m.cos(theta), _m.sin(theta)
+    rx = (px * ca - py * sa) * scale
+    ry = (px * sa + py * ca) * scale
+    qf = F.lit(float(np.sqrt(3.0) / 3.0)) * rx - ry / 3.0
+    rf = 2.0 / 3.0 * ry
+    df = df.withColumns({"__qf": qf, "__rf": rf, "__sf": -qf - rf})
+    qr = F.round(F.col("__qf")).cast("long")
+    rr = F.round(F.col("__rf")).cast("long")
+    sr = F.round(F.col("__sf")).cast("long")
+    df = df.withColumns({"__q": qr, "__r": rr, "__s": sr})
+    dq = F.abs(F.col("__q") - F.col("__qf"))
+    dr = F.abs(F.col("__r") - F.col("__rf"))
+    ds = F.abs(F.col("__s") - F.col("__sf"))
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = (~fix_q) & (dr > ds)
+    df = df.withColumns({
+        "__q2": F.when(fix_q, -F.col("__r") - F.col("__s")).otherwise(F.col("__q")),
+    })
+    df = df.withColumns({
+        "__r2": F.when(fix_r, -F.col("__q2") - F.col("__s")).otherwise(F.col("__r")),
+    })
+    off = 1 << 19
+    cell = (
+        F.shiftleft(F.col("__hface").cast("long"), 49)
+        .bitwiseOR(F.lit(res << 45).cast("long"))
+        .bitwiseOR(F.shiftleft(F.col("__q2") + off, 20))
+        .bitwiseOR(F.col("__r2") + off)
+    )
+    return df.withColumn(out, cell).drop(
+        "__hx3", "__hy3", "__hz3", "__hface", "__qf", "__rf", "__sf",
+        "__q", "__r", "__s", "__q2", "__r2")

@@ -122,6 +122,52 @@ def filter_mask_column(spark: SparkSession, program: FilterProgram,
     return _mask(lon, lat)
 
 
+def filter_mask_native(program: FilterProgram, lon: Column, lat: Column) -> Column:
+    """Same bitmask as filter_mask_column, but pure Catalyst column math.
+
+    The polygons are compile-time constants, so the even-odd crossing test
+    unrolls per edge into codegen'd arithmetic (one term per edge:
+    ~5-10 edges per filter polygon). No Arrow round trip — a pandas UDF
+    moves ~24 bytes/row across the JVM<->Python boundary, which saturates a
+    node's memory bus before its cores; this scales like any expression.
+    Use the UDF variant only for programs with very high vertex counts.
+    """
+    n = len(program.features)
+    if n == 0:
+        return F.lit(0).cast("long")
+    if n > 63:
+        raise ValueError("filter programs with >63 features are not supported")
+    mask = F.lit(0).cast("long")
+    for i, feat in enumerate(program.features):
+        inside_any = F.lit(False)
+        for poly in feat.polygons:
+            bbox_ok = (
+                (lon >= float(poly.minx)) & (lon <= float(poly.maxx))
+                & (lat >= float(poly.miny)) & (lat <= float(poly.maxy))
+            )
+            inside = _ring_crossings_odd(poly.exterior, lon, lat)
+            for hole in poly.holes:
+                inside = inside & ~_ring_crossings_odd(hole, lon, lat)
+            inside_any = inside_any | (bbox_ok & inside)
+        mask = mask.bitwiseOR(F.when(inside_any, F.lit(1 << i)).otherwise(F.lit(0)).cast("long"))
+    return mask
+
+
+def _ring_crossings_odd(ring, lon: Column, lat: Column) -> Column:
+    """Even-odd rule for one closed ring, unrolled per edge (numpy twin:
+    functions/geometry.py points_in_ring — same crossing condition)."""
+    crossings = F.lit(0)
+    for i in range(len(ring) - 1):
+        x1, y1 = float(ring[i][0]), float(ring[i][1])
+        x2, y2 = float(ring[i + 1][0]), float(ring[i + 1][1])
+        if y1 == y2:
+            continue  # horizontal edge: the (y1>py)!=(y2>py) gate is never true
+        cond = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        xint = x1 + (lat - y1) * ((x2 - x1) / (y2 - y1))
+        crossings = crossings + F.when(cond & (lon < xint), 1).otherwise(0)
+    return F.pmod(crossings, F.lit(2)) == 1
+
+
 # ---------------------------------------------------------------------------
 # Rule resolution: layer CASE cascade per filter feature
 # ---------------------------------------------------------------------------
