@@ -305,24 +305,17 @@ def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (quantized, exact integer test).
+    """Embedding-cosine near-duplicate pairs (quantized, exact integer test,
+    cos > 0.4 — the synthetic embeddings' near-dup band).
 
-    Brute-force all-pairs here (2k vectors); the scale path buckets by an
-    LSH of the dominant dimensions first — see operators/dedup.py notes.
+    Vectorized int64-matmul against the broadcast quantized matrix; exact
+    same results as the per-pair SQL oracle (integers all the way).
     """
+    from mvt_wrangler_spark.operators.dedup import embedding_neardup_pairs
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qv = F.transform("embedding", lambda x: F.round(x.cast("double") * 100).cast("long"))
-    e = emb.select(F.col("vec_id").alias("id"), qv.alias("q"))
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v)
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
-    score = dot(F.col("a.q"), F.col("b.q"))
-    na = dot(F.col("a.q"), F.col("a.q"))
-    nb = dot(F.col("b.q"), F.col("b.q"))
-    # cos > 0.4 (the synthetic embeddings' near-dup band; exact integer test)
-    cond = (score > 0) & (score * score * 100 > F.lit(16) * na * nb)
-    return pairs.filter(cond).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    return embedding_neardup_pairs(emb, id_col="vec_id", vec_col="embedding",
+                                   quant=100, cos_num=16, cos_den=100)
 
 
 def q_tile_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -81,6 +81,71 @@ def broadcast_pip_join(spark: SparkSession, points: DataFrame,
 # Salted kNN join (nearest neighbors among `data` for each row of `queries`)
 # ---------------------------------------------------------------------------
 
+def knn_join_cells(data: DataFrame, queries: DataFrame, k: int, z: int = 7,
+                   data_id: str = "image_id", query_id: str = "query_id",
+                   lon_col: str = "lon", lat_col: str = "lat",
+                   n_salt: int = 8) -> DataFrame:
+    """Salted cell-bucketed kNN for LARGE query sets (both sides distributed).
+
+    Candidate generation: data rows keyed by their z-tile; query rows
+    exploded to their tile's 3x3 neighborhood; equi-join on the tile key —
+    a plain shuffle join Catalyst/AQE can plan. Hot tiles (dense metros) are
+    salted: data gets salt=hash(id)%n_salt, queries explode across all
+    salts, so one hot cell spreads over n_salt reducers; two-phase top-k
+    ((query, salt)-local then global) bounds every reducer's output at k.
+
+    Exactness contract: exact among candidates within the 3x3 tile
+    neighborhood at zoom z (choose z so the expected kth-neighbor radius
+    fits one tile; queries whose true neighbors lie further get their
+    nearest in-neighborhood rows). Output: query_id, rank, neighbor_id,
+    dist2.
+    """
+    from ..functions import tiling
+
+    d = data.select(
+        F.col(data_id).alias("__did"),
+        F.col(lon_col).alias("__dlon"), F.col(lat_col).alias("__dlat"))
+    d = tiling.assign_tiles(
+        d.withColumnRenamed("__dlon", "lon").withColumnRenamed("__dlat", "lat"),
+        z=z, with_local=False,
+    ).select(
+        "__did", F.col("lon").alias("__dlon"), F.col("lat").alias("__dlat"),
+        F.col("x").alias("__cx"), F.col("y").alias("__cy"),
+        F.pmod(F.xxhash64(F.col("__did")), F.lit(n_salt)).alias("__salt"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(lon_col).alias("lon"), F.col(lat_col).alias("lat"))
+    q = tiling.assign_tiles(q, z=z, with_local=False)
+    n = 1 << z
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    q = q.select(
+        "__qid", F.col("lon").alias("__qlon"), F.col("lat").alias("__qlat"),
+        F.explode(F.array(*[
+            F.struct(
+                F.pmod(F.col("x") + dx, F.lit(n)).alias("cx"),  # antimeridian wrap
+                F.greatest(F.lit(0), F.least(F.lit(n - 1), F.col("y") + dy)).alias("cy"),
+            ) for dx, dy in offs
+        ])).alias("__nb"),
+    ).select("__qid", "__qlon", "__qlat",
+             F.col("__nb.cx").alias("__cx"), F.col("__nb.cy").alias("__cy")).dropDuplicates(
+        ["__qid", "__cx", "__cy"])
+    q = q.withColumn("__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)])))
+    pairs = q.join(d, on=["__cx", "__cy", "__salt"])
+    dx = pairs["__dlon"] - pairs["__qlon"]
+    dy = pairs["__dlat"] - pairs["__qlat"]
+    pairs = pairs.withColumn("dist2", dx * dx + dy * dy)
+    w1 = Window.partitionBy("__qid", "__salt").orderBy(F.col("dist2").asc(), F.col("__did").asc())
+    local = pairs.withColumn("__r", F.row_number().over(w1)).filter(F.col("__r") <= k)
+    w2 = Window.partitionBy("__qid").orderBy(F.col("dist2").asc(), F.col("__did").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__qid").alias(query_id), "rank",
+                F.col("__did").alias("neighbor_id"), "dist2")
+    )
+
+
 def knn_join(data: DataFrame, queries: DataFrame, k: int,
              data_id: str = "image_id", query_id: str = "query_id",
              lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:

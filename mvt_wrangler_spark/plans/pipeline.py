@@ -57,10 +57,13 @@ def run_pipeline(
     if with_cells:
         from ..functions import cells as C
 
-        # native codegen encoders (numpy pandas-UDF twins exist for tests;
-        # the UDF Arrow round trip is memory-bus-bound and hurts core-scaling)
-        assigned = C.with_s2_cell_native(assigned, level=s2_level, lat="lat", lng="lon")
-        assigned = C.with_h3_cell_native(assigned, res=h3_res, lat="lat", lng="lon")
+        # pandas-UDF encoders by default (best absolute throughput: the
+        # fully-fused native chain exceeds HotSpot JIT method limits);
+        # native column twins exist (with_s2_cell_native / with_h3_cell_native)
+        # for UDF-free deployments
+        assigned = assigned.withColumn(
+            "s2_cell", C.s2_cell_column(F.col("lat"), F.col("lon"), level=s2_level)
+        ).withColumn("h3_cell", C.h3_cell_column(F.col("lat"), F.col("lon"), res=h3_res))
 
     obs = Observation("pipeline")
     assigned = assigned.observe(obs, F.count(F.lit(1)).alias("rows_in"))

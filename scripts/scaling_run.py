@@ -36,9 +36,10 @@ def main():
     runs = []
     for _ in range(n_runs):
         t0 = time.time()
-        # native codegen kernels: PIP mask, H3, S2 as column math — a pandas
-        # UDF's Arrow round trip is memory-bus-bound and caps single-node
-        # core-scaling at ~1.5x (see BENCH/BASELINE.md analysis)
+        # best-throughput mix (measured, BENCH/BASELINE.md): native codegen
+        # PIP mask (~5x the UDF), pandas-UDF cell encoders (the all-native
+        # chain fuses into one huge codegen method that HotSpot won't JIT —
+        # 3-4x slower despite scaling better)
         masked = pts.withColumn(
             "filter_mask", FL.filter_mask_native(program, F.col("lon"), F.col("lat")))
         surv = FL.apply_feature_filter(masked, program)
@@ -47,8 +48,9 @@ def main():
         # north-star operator set: batched H3 + S2 cell encoding per row
         from mvt_wrangler_spark.functions import cells as C
 
-        assigned = C.with_s2_cell_native(assigned, level=12, lat="lat", lng="lon")
-        assigned = C.with_h3_cell_native(assigned, res=7, lat="lat", lng="lon")
+        assigned = assigned.withColumn(
+            "s2_cell", C.s2_cell_column(F.col("lat"), F.col("lon"), level=12)
+        ).withColumn("h3_cell", C.h3_cell_column(F.col("lat"), F.col("lon"), res=7))
         if mode == "full":
             # agg-based dedup: map-side combine, narrow shuffle rows; the
             # sum(size(tags)) agg consumes the tag filter's output so Catalyst

@@ -100,6 +100,25 @@ def test_pip_join_matches_oracle(spark, images_rows):
 
 
 @pytest.mark.spark
+def test_knn_join_cells_matches_bruteforce(spark, images_rows):
+    """Salted cell-bucketed kNN: exact for queries whose k-neighborhood fits
+    the 3x3 tile ring (metro queries at z=6: tile ~5.6 deg >> cluster sigma)."""
+    df, rows = images_rows
+    queries = spark.createDataFrame(
+        [("q0", 139.76, 35.68), ("q1", -74.0, 40.71), ("q2", 2.35, 48.86)],
+        "query_id string, lon double, lat double")
+    got = J.knn_join_cells(df, queries, k=5, z=6, n_salt=4)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for qid, qlon, qlat in [("q0", 139.76, 35.68), ("q1", -74.0, 40.71), ("q2", 2.35, 48.86)]:
+        want = [iid for _, iid in sorted(
+            ((r["lon"] - qlon) ** 2 + (r["lat"] - qlat) ** 2, r["image_id"]) for r in rows)[:5]]
+        gotq = [nid for _, nid in sorted(by_q[qid])]
+        assert gotq == want, qid
+
+
+@pytest.mark.spark
 def test_knn_join_matches_bruteforce(spark, images_rows):
     df, rows = images_rows
     queries = spark.createDataFrame(
