@@ -339,6 +339,30 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(docs, num_hashes=16, bands=8, shingle=5)
 
 
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (rows-only: JVM bit-vote
+    aggregate isn't SQL-portable; determinism pinned by pytest)."""
+    from mvt_wrangler_spark.operators.dedup import simhash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", simhash64(F.col("text"), shingle=4).alias("simhash"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint, SQL-checkable: the hash is a
+    base-K polynomial over character codes mod 2^31-1 computed with
+    aggregate() on Spark and list_reduce-equivalent arithmetic on DuckDB.
+    Implemented as position-weighted sum so both engines fold identically."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fingerprint = sum over i of ascii(text[i]) * (i mod 64 + 1) mod 2^31-1
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)))
+    term = F.transform(idx, lambda i: F.ascii(F.col("text").substr(i, F.lit(1)))
+                       * (F.pmod(i - 1, F.lit(64)) + 1))
+    fp = F.pmod(F.aggregate(term, F.lit(0).cast("long"), lambda a, v: a + v),
+                F.lit(2147483647))
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full spatial pipeline at sf0.001 -> per-tile stats."""
     return q_pipeline_e2e(spark, "/root/testdata/sf0.001")
@@ -369,6 +393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_events": q_topk_events,
         "embed_neardup": q_embed_neardup,
         "tile_encode": q_tile_encode,
+        "simhash": q_simhash,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
 
@@ -566,8 +592,19 @@ p AS (SELECT a.id AS id_a, b.id AS id_b,
 SELECT id_a, id_b FROM p WHERE score > 0 AND score * score * 100 > 16 * na * nb
 """
 
+    doc_fp = """
+WITH c AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(text), 1)),
+                        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)
+                             * (((i - 1) % 64) + 1)) AS terms
+  FROM documents)
+SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM c
+"""
+
     return {
         "tile_assign": tile_assign,
+        "doc_fingerprint": doc_fp,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

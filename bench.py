@@ -85,6 +85,19 @@ def main() -> None:
         "flagship_sec": round(dt, 3),
     }
 
+    # attach the latest N-vs-4N evidence (scripts/scaling_bench.py output)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        result["scaling_evidence"] = {
+            m: {"efficiency_8_to_32": s["scaling_efficiency_8_to_32"],
+                "rows_per_sec": {k: v["rows_per_sec"] for k, v in s["results"].items()}}
+            for m, s in sc.get("scenarios", {}).items()
+        }
+        result["scaling_n_rows"] = sc.get("n_rows")
+
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         spark.stop()
         scal = {}

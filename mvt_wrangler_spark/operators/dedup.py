@@ -195,16 +195,43 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
 
 
 def simhash64(text_col, shingle: int = 3):
-    """64-bit SimHash over character shingles, JVM-side bit-vote aggregate."""
-    hashes = _shingle_hashes(text_col, shingle)
-    bits = []
-    for i in range(64):
-        votes = F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << i if i < 63 else -(1 << 63))) != 0, 1).otherwise(-1),
-        )
-        bits.append(F.when(votes > 0, F.lit(1 << i if i < 63 else -(1 << 63))).otherwise(F.lit(0)).cast("long"))
-    out = F.lit(0).cast("long")
-    for b in bits:
-        out = out.bitwiseOR(b)
-    return out
+    """64-bit SimHash over character shingles — vectorized numpy bit-vote.
+
+    (A JVM higher-order-fn formulation needs 64 interpreted aggregate()
+    passes per row — measured 39s for 500 docs; this is one Arrow pass.)
+    Shingle hashing shares minhash's rolling-polynomial + splitmix64 mix.
+    """
+    K = np.uint64(1099511628211)
+    POWS = np.empty(shingle, dtype=np.uint64)
+    acc = 1
+    for j in range(shingle):
+        POWS[j] = acc
+        acc = (acc * int(K)) % (1 << 64)
+
+    def _mix(x: np.ndarray) -> np.ndarray:
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for n, t in enumerate(texts):
+                b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+                if len(b) < shingle:
+                    b = np.pad(b, (0, shingle - len(b)), constant_values=32)
+                win = np.lib.stride_tricks.sliding_window_view(b, shingle).astype(np.uint64)
+                sh = _mix(win @ POWS)  # (n_shingles,) u64
+                # bit votes: +1 where bit set, -1 where clear
+                bits = (sh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                votes = 2 * bits.astype(np.int64).sum(axis=0) - len(sh)
+                word = np.uint64(0)
+                setbits = np.nonzero(votes > 0)[0]
+                for i in setbits:
+                    word |= np.uint64(1) << np.uint64(i)
+                out[n] = np.int64(word.astype(np.int64))
+        return pd.Series(out)
+
+    return _simhash(text_col)
