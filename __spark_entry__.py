@@ -117,7 +117,7 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
     pts = _points(spark, sf_dir).withColumn("tags", F.create_map(F.lit("kind"), F.col("kind")))
     masked = pts.withColumn(
-        "filter_mask", FL.filter_mask_column(spark, program, F.col("lon"), F.col("lat")))
+        "filter_mask", FL.filter_mask_native(program, F.col("lon"), F.col("lat")))
     surv = FL.apply_feature_filter(masked, program)
     surv = tiling.assign_tiles(surv, z=Z, with_local=False)
     return D.phash_dedup(surv, keys=("z", "x", "y", "phash"), order_col="id").select(

@@ -122,15 +122,24 @@ def filter_mask_column(spark: SparkSession, program: FilterProgram,
     return _mask(lon, lat)
 
 
-def filter_mask_native(program: FilterProgram, lon: Column, lat: Column) -> Column:
+def filter_mask_native(program: FilterProgram, lon: Column, lat: Column,
+                       materialize: bool = True) -> Column:
     """Same bitmask as filter_mask_column, but pure Catalyst column math.
 
     The polygons are compile-time constants, so the even-odd crossing test
     unrolls per edge into codegen'd arithmetic (one term per edge:
     ~5-10 edges per filter polygon). No Arrow round trip — a pandas UDF
     moves ~24 bytes/row across the JVM<->Python boundary, which saturates a
-    node's memory bus before its cores; this scales like any expression.
-    Use the UDF variant only for programs with very high vertex counts.
+    node's memory bus before its cores.
+
+    materialize=True (default) appends a nondeterministic no-op
+    (`+ floor(rand*0)`), which stops Catalyst from SUBSTITUTING this large
+    expression into every downstream reference — the feature filter
+    references the mask once per filter feature and the tag filter once per
+    map entry, so inlining multiplies the polygon math ~(features x
+    map-entries) times (measured 4x slowdown on the full pipeline). The
+    no-op forces one evaluation per row, exactly like the UDF boundary did
+    implicitly, while keeping the 5x codegen speed of the native kernel.
     """
     n = len(program.features)
     if n == 0:
@@ -150,6 +159,8 @@ def filter_mask_native(program: FilterProgram, lon: Column, lat: Column) -> Colu
                 inside = inside & ~_ring_crossings_odd(hole, lon, lat)
             inside_any = inside_any | (bbox_ok & inside)
         mask = mask.bitwiseOR(F.when(inside_any, F.lit(1 << i)).otherwise(F.lit(0)).cast("long"))
+    if materialize:
+        mask = mask + F.floor(F.rand(7) * 0).cast("long")
     return mask
 
 

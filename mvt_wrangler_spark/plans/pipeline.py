@@ -69,9 +69,12 @@ def run_pipeline(
     assigned = assigned.observe(obs, F.count(F.lit(1)).alias("rows_in"))
 
     if program is not None and program.features:
+        # native codegen mask with the materialize barrier (see
+        # filters.filter_mask_native docstring: inlining would multiply the
+        # polygon math by features x map-entries)
         masked = assigned.withColumn(
             "filter_mask",
-            FL.filter_mask_column(spark, program, F.col("lon"), F.col("lat")),
+            FL.filter_mask_native(program, F.col("lon"), F.col("lat")),
         )
         survivors = FL.apply_feature_filter(masked, program)
         survivors = FL.apply_tag_filter(survivors, program)

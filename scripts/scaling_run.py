@@ -36,14 +36,12 @@ def main():
     runs = []
     for _ in range(n_runs):
         t0 = time.time()
-        # best-throughput mix (measured, BENCH/BASELINE.md): UDF PIP mask +
-        # UDF cell encoders. Counter-intuitively the Python boundaries are
-        # load-bearing: they split whole-stage codegen into JIT-able methods;
-        # the all-native chain fuses into one huge method HotSpot refuses to
-        # compile (221s vs 46s at 120M/local[8]). The native kernels win only
-        # in isolation (native mask alone: 1.0s vs 4.8s UDF at 20M).
+        # best-throughput mix (measured, BENCH/BASELINE.md): native codegen
+        # PIP mask with the materialize barrier (stops Catalyst inlining the
+        # polygon math into every filter/lambda reference — 4x) + pandas-UDF
+        # cell encoders (marginally faster than the native cell chain here).
         masked = pts.withColumn(
-            "filter_mask", FL.filter_mask_column(spark, program, F.col("lon"), F.col("lat")))
+            "filter_mask", FL.filter_mask_native(program, F.col("lon"), F.col("lat")))
         surv = FL.apply_feature_filter(masked, program)
         surv = FL.apply_tag_filter(surv, program)
         assigned = tiling.assign_tiles(surv, z=10, with_local=False)
