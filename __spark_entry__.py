@@ -142,7 +142,9 @@ def q_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).withColumn("filter_mask", F.lit(4).cast("long"))  # global rule applies
     out = FL.apply_tag_filter(pts, prog)
-    return out.select("id", F.array_sort(F.map_keys("tags")).alias("kept_keys"))
+    # scalar (not array) output: the driver's canonicalizer can't hash lists
+    return out.select(
+        "id", F.concat_ws(",", F.array_sort(F.map_keys("tags"))).alias("kept_keys"))
 
 
 def q_expr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,7 +489,7 @@ SELECT id, x, y, phash FROM __r WHERE rn = 1
     # tag_filter truth, precomputed from the fixture rule semantics:
     # pgf:name:ja dropped (starts-with pgf:name:), name:fr dropped (capture
     # 'fr' not in keep list); name ('' capture), name:ja, kind kept.
-    tag_filter = f"WITH {pts} SELECT id, ['kind','name','name:ja'] AS kept_keys FROM __pts"
+    tag_filter = f"WITH {pts} SELECT id, 'kind,name,name:ja' AS kept_keys FROM __pts"
 
     expr_filter = """
 SELECT p_partkey FROM part
