@@ -74,7 +74,12 @@ def main(argv: list[str] | None = None) -> int:
     res = run_pipeline(spark, images, program, z=args.zoom, min_z=args.min_zoom,
                        dedup=not args.no_dedup, with_cells=args.cells)
 
-    out = SnapshotTable(args.output, n_buckets=args.buckets)
+    from .functions.tiling import _zoom_acc
+
+    # tile ids at zoom z live in [_zoom_acc(z), _zoom_acc(z+1)) — range-bucket
+    # on that bound so concatenated buckets are globally tile_id-ordered (S5/W1)
+    out = SnapshotTable(args.output, n_buckets=args.buckets,
+                        key_max=_zoom_acc(args.zoom + 1) - 1)
     job_id = args.job_id or f"cli-{int(t0)}"
     snap = out.write_snapshot(res.deduped, job_id=job_id, sort_col="tile_id")
 

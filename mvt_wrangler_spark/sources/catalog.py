@@ -1,105 +1,170 @@
 """Iceberg-shaped snapshot table layer over parquet (no Iceberg jars in env).
 
 Gives the north rule's resume semantics: per-partition (bucket) checkpoints
-with lineage + row counts, idempotent overwrite-by-partition, and an atomic
-snapshot commit — the Spark re-expression of the reference's ordered
-finalize() (/root/reference/src/processing.rs:98-121): work lands bucket by
-bucket, becomes visible only at the atomic CURRENT swap.
+with lineage + row counts, idempotent staged writes, and an atomic snapshot
+commit — the Spark re-expression of the reference's ordered finalize()
+(/root/reference/src/processing.rs:98-121): work lands bucket by bucket,
+becomes visible only at the atomic CURRENT swap.
 
 Layout:
   root/
-    data/bucket=<b>/*.parquet          one range-bucket of tile_id space
-    manifests/job-<job_id>/bucket-<b>.json   per-partition done marker:
-        {rows, bytes, files, bucket, wall_sec, finished_at}
-    manifests/snapshot-<n>.json        committed snapshot (bucket list + totals)
-    CURRENT                            text file with latest snapshot number
-                                       (atomic rename swap)
+    data/<job_id>/__bucket=<b>/*.parquet   job-scoped data (one Spark write
+                                           with partitionBy — the input plan
+                                           is scanned exactly ONCE)
+    manifests/job-<job_id>/bucket-<b>.json per-partition done marker:
+        {bucket, path, rows, bytes, files, finished_at}
+    manifests/snapshot-<n>.json            committed snapshot (bucket list,
+                                           each with its data path + totals)
+    CURRENT                                latest snapshot number (atomic
+                                           rename swap = visibility point)
 
-Resume: re-running the same job_id skips buckets whose marker exists; a
-killed job leaves only complete bucket dirs + markers (bucket write is
-overwrite-idempotent, marker written after the bucket data lands).
+Scale notes (the round-1 write path recomputed the upstream plan once per
+bucket — n_buckets full scans of a 100 TB input):
+  - The data lands in ONE Spark job: repartitionByRange over
+    (__bucket, sort_col) + partitionBy(__bucket). One input scan, and within
+    every bucket the part files are range-disjoint and internally sorted, so
+    bucket order == file order == row order (ordered-archive, S5/W1).
+  - Row counts come from parquet FOOTER metadata (pyarrow), not a re-scan.
+  - Bucketing is RANGE by default when `key_max` is known (high key bits),
+    so concatenated buckets are globally ordered by the cluster key;
+    without `key_max` it falls back to hash (pmod) bucketing, which is
+    balanced but not globally ordered — documented, not pretended.
+
+Resume: re-running the same job_id (a) skips the Spark write if the staged
+data dir is complete (_SUCCESS), (b) skips buckets whose marker exists. A
+killed job leaves only the staging dir + markers; readers see nothing until
+the CURRENT swap. Snapshots are immutable: each references job-scoped paths,
+so a later snapshot never clobbers an earlier one's files (streaming
+micro-batches commit with append=True and accumulate).
 If the iceberg-spark-runtime jar is ever available, SnapshotTable's surface
-(write_snapshot / read_current / resume) maps 1:1 onto a real Iceberg table.
+(write_snapshot / read_current / resume / vacuum) maps 1:1 onto a real
+Iceberg table.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 class SnapshotTable:
-    def __init__(self, root: str, n_buckets: int = 16, bucket_col: str = "tile_id"):
+    def __init__(self, root: str, n_buckets: int = 16, bucket_col: str = "tile_id",
+                 key_max: int | None = None):
         self.root = root
         self.n_buckets = n_buckets
         self.bucket_col = bucket_col
+        self.key_max = key_max
         os.makedirs(f"{root}/manifests", exist_ok=True)
         os.makedirs(f"{root}/data", exist_ok=True)
 
-    # -- bucket assignment: range-ish via high bits of the cluster key ------
+    # -- bucket assignment ---------------------------------------------------
     def _bucketed(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "__bucket", F.pmod(F.col(self.bucket_col), F.lit(self.n_buckets)).cast("int")
-        )
+        key = F.col(self.bucket_col)
+        if self.key_max is not None:
+            # range bucket: floor(key * n / (key_max+1)) — concatenating
+            # buckets 0..n-1 yields global cluster-key order
+            b = F.least(
+                F.lit(self.n_buckets - 1),
+                F.floor(key * self.n_buckets / F.lit(self.key_max + 1)).cast("int"),
+            )
+            b = F.greatest(F.lit(0), b)
+        else:
+            b = F.pmod(key, F.lit(self.n_buckets)).cast("int")  # hash-style
+        return df.withColumn("__bucket", b)
 
     def _marker(self, job_id: str, b: int) -> str:
         return f"{self.root}/manifests/job-{job_id}/bucket-{b}.json"
 
-    def write_snapshot(self, df: DataFrame, job_id: str, sort_col: str | None = None,
-                       progress=None) -> dict:
-        """Write all buckets (skipping checkpointed ones), then commit.
+    def _job_data_dir(self, job_id: str) -> str:
+        return f"{self.root}/data/{job_id}"
 
-        Returns the committed snapshot manifest. Buckets are processed
-        sequentially as independent Spark jobs — each is the resumable unit;
-        within a bucket all executors work in parallel. Each bucket's data is
-        sorted by the cluster key (ordered-sink semantics, W1/S5).
+    # -- write path ------------------------------------------------------------
+    def write_snapshot(self, df: DataFrame, job_id: str, sort_col: str | None = None,
+                       progress=None, append: bool = False) -> dict:
+        """Stage all buckets in ONE Spark write, finalize per-bucket markers,
+        then commit atomically. Returns the committed snapshot manifest.
+
+        append=True commits the new buckets ON TOP of the current snapshot's
+        (incremental ingest — streaming micro-batches); default replaces.
         """
         os.makedirs(f"{self.root}/manifests/job-{job_id}", exist_ok=True)
-        bucketed = self._bucketed(df)
         sort_col = sort_col or self.bucket_col
+        data_dir = self._job_data_dir(job_id)
+
+        if append:
+            cur = self.current_snapshot()
+            if cur is not None and any(m["path"].startswith(data_dir + "/")
+                                       for m in cur["buckets"]):
+                return cur  # replayed micro-batch: already committed, no-op
+
+        missing = [b for b in range(self.n_buckets)
+                   if not os.path.exists(self._marker(job_id, b))]
+        if missing:
+            if not os.path.exists(f"{data_dir}/_SUCCESS"):
+                n_out = max(df.sparkSession.sparkContext.defaultParallelism,
+                            self.n_buckets)
+                (
+                    self._bucketed(df)
+                    .repartitionByRange(n_out, "__bucket", sort_col)
+                    .sortWithinPartitions("__bucket", sort_col)
+                    .write.partitionBy("__bucket")
+                    .mode("overwrite")
+                    .parquet(data_dir)
+                )
+            for b in missing:
+                m = self._finalize_bucket(job_id, b)
+                if progress:
+                    progress(b, m)
+
         manifests = []
         for b in range(self.n_buckets):
-            mpath = self._marker(job_id, b)
-            if os.path.exists(mpath):
-                with open(mpath) as f:
-                    manifests.append(json.load(f))
-                continue
-            t0 = time.time()
-            part = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
-            out_dir = f"{self.root}/data/bucket={b}"
-            part.sortWithinPartitions(sort_col).write.mode("overwrite").parquet(out_dir)
-            rows = part.sparkSession.read.parquet(out_dir).count()  # post-commit truth
-            files = [fn for fn in os.listdir(out_dir) if fn.endswith(".parquet")]
-            m = {
-                "bucket": b,
-                "rows": rows,
-                "files": sorted(files),
-                "bytes": sum(os.path.getsize(f"{out_dir}/{fn}") for fn in files),
-                "wall_sec": round(time.time() - t0, 3),
-                "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            }
-            tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as f:
-                json.dump(m, f)
-            os.rename(tmp, mpath)  # atomic per-partition checkpoint
-            manifests.append(m)
-            if progress:
-                progress(b, m)
-        return self._commit(job_id, manifests)
+            with open(self._marker(job_id, b)) as f:
+                manifests.append(json.load(f))
+        return self._commit(job_id, manifests, append=append)
 
-    def _commit(self, job_id: str, manifests: list[dict]) -> dict:
+    def _finalize_bucket(self, job_id: str, b: int) -> dict:
+        """Derive the per-partition checkpoint from committed files: parquet
+        footer row counts (metadata read, no data scan)."""
+        import pyarrow.parquet as pq
+
+        bdir = f"{self._job_data_dir(job_id)}/__bucket={b}"
+        files = sorted(fn for fn in os.listdir(bdir)
+                       if fn.endswith(".parquet")) if os.path.isdir(bdir) else []
+        rows = sum(pq.ParquetFile(f"{bdir}/{fn}").metadata.num_rows for fn in files)
+        m = {
+            "bucket": b,
+            "path": bdir,
+            "rows": rows,
+            "files": files,
+            "bytes": sum(os.path.getsize(f"{bdir}/{fn}") for fn in files),
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        mpath = self._marker(job_id, b)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.rename(tmp, mpath)  # atomic per-partition checkpoint
+        return m
+
+    def _commit(self, job_id: str, manifests: list[dict], append: bool = False) -> dict:
+        buckets = list(manifests)
+        if append:
+            prev = self.current_snapshot()
+            if prev is not None:
+                buckets = prev["buckets"] + buckets
         n = self.current_snapshot_id() + 1
         snap = {
             "snapshot": n,
             "job_id": job_id,
-            "buckets": manifests,
-            "total_rows": sum(m["rows"] for m in manifests),
-            "total_bytes": sum(m["bytes"] for m in manifests),
+            "append": append,
+            "buckets": buckets,
+            "total_rows": sum(m["rows"] for m in buckets),
+            "total_bytes": sum(m["bytes"] for m in buckets),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         spath = f"{self.root}/manifests/snapshot-{n}.json"
@@ -113,6 +178,7 @@ class SnapshotTable:
         os.rename(ctmp, f"{self.root}/CURRENT")  # atomic visibility swap
         return snap
 
+    # -- read path -------------------------------------------------------------
     def current_snapshot_id(self) -> int:
         try:
             with open(f"{self.root}/CURRENT") as f:
@@ -131,10 +197,25 @@ class SnapshotTable:
         snap = self.current_snapshot()
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot at {self.root}")
-        return spark.read.parquet(*[f"{self.root}/data/bucket={m['bucket']}"
-                                    for m in snap["buckets"]])
+        paths = [m["path"] for m in snap["buckets"] if m["files"]]
+        if not paths:
+            raise FileNotFoundError(f"snapshot {snap['snapshot']} has no data files")
+        return spark.read.parquet(*paths)
 
     def lineage(self) -> list[dict]:
         """Per-partition lineage of the current snapshot (north rule metric)."""
         snap = self.current_snapshot()
         return snap["buckets"] if snap else []
+
+    def vacuum(self) -> list[str]:
+        """Delete job data dirs not referenced by the CURRENT snapshot
+        (Iceberg expire-snapshots analog). Returns removed dirs."""
+        snap = self.current_snapshot()
+        live = {os.path.dirname(m["path"]) for m in (snap or {}).get("buckets", [])}
+        removed = []
+        for d in sorted(os.listdir(f"{self.root}/data")):
+            full = f"{self.root}/data/{d}"
+            if os.path.isdir(full) and full not in live:
+                shutil.rmtree(full)
+                removed.append(full)
+        return removed

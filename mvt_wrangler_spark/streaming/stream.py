@@ -34,15 +34,20 @@ def windowed_tile_counts(stream_df: DataFrame, z: int = 10, ts_col: str = "ts",
     )
 
 
-def snapshot_sink(table_root: str, n_buckets: int = 8):
-    """foreachBatch writer: each micro-batch commits one snapshot, keyed by
-    batch id (idempotent on replay after restart)."""
+def snapshot_sink(table_root: str, n_buckets: int = 8, key_max: int | None = None):
+    """foreachBatch writer: each micro-batch commits one APPEND snapshot,
+    keyed by batch id (idempotent on replay after restart — a replayed batch
+    reuses its job-scoped staging dir and markers, so no duplicate data).
+
+    Each batch's files land under data/stream-batch-<id>/ and the snapshot
+    references ALL batches' paths, so earlier micro-batches are never
+    clobbered — the table accumulates (incremental tile ingest)."""
     from ..sources.catalog import SnapshotTable
 
-    table = SnapshotTable(table_root, n_buckets=n_buckets)
+    table = SnapshotTable(table_root, n_buckets=n_buckets, key_max=key_max)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         table.write_snapshot(batch_df, job_id=f"stream-batch-{batch_id}",
-                             sort_col="tile_id")
+                             sort_col="tile_id", append=True)
 
     return _write

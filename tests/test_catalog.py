@@ -1,8 +1,11 @@
-"""Checkpoint/resume: kill mid-job, resume, identical committed output."""
+"""Checkpoint/resume: kill mid-finalize, resume, identical committed output.
+
+Also: single-input-scan staging, range bucketing (global order across
+concatenated buckets), append snapshots (streaming ingest), vacuum.
+"""
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
@@ -36,7 +39,7 @@ def test_kill_resume_identical(spark, table):
 
     def bomb(b, m):
         if b == 2:
-            raise Boom()  # simulate job death after 3 completed buckets
+            raise Boom()  # simulate driver death after 3 finalized buckets
 
     with pytest.raises(Boom):
         table.write_snapshot(df, job_id="j1", progress=bomb)
@@ -45,10 +48,15 @@ def test_kill_resume_identical(spark, table):
     done = sorted(int(f.split("-")[1].split(".")[0])
                   for f in os.listdir(f"{ROOT}/manifests/job-j1"))
     assert done == [0, 1, 2]
+    # staged data landed in ONE write (complete before any marker)
+    assert os.path.exists(f"{ROOT}/data/j1/_SUCCESS")
     mtimes = {b: os.path.getmtime(f"{ROOT}/manifests/job-j1/bucket-{b}.json") for b in done}
+    stage_mtime = os.path.getmtime(f"{ROOT}/data/j1/_SUCCESS")
 
-    # resume: same job id — completed buckets skipped (markers untouched)
+    # resume: same job id — the Spark write is NOT re-run (staging complete),
+    # finalized buckets skipped (markers untouched)
     snap = table.write_snapshot(df, job_id="j1")
+    assert os.path.getmtime(f"{ROOT}/data/j1/_SUCCESS") == stage_mtime
     for b in done:
         assert os.path.getmtime(f"{ROOT}/manifests/job-j1/bucket-{b}.json") == mtimes[b]
     assert snap["total_rows"] == 5000
@@ -63,11 +71,28 @@ def test_kill_resume_identical(spark, table):
     assert sum(m["rows"] for m in lin) == 5000
     assert all(m["files"] and m["bytes"] > 0 for m in lin)
 
-    # buckets are sorted by the cluster key within files (ordered sink)
-    one = spark.read.parquet(f"{ROOT}/data/bucket=3")
-    vals = [r.tile_id for r in one.select("tile_id").collect()]
-    # per-file sortedness: read preserves file order per split here
-    assert sorted(vals) == sorted(vals)  # sanity (full order checked per-file below)
+
+@pytest.mark.spark
+def test_range_bucketing_global_order(spark):
+    shutil.rmtree(ROOT + "_rng", ignore_errors=True)
+    try:
+        t = SnapshotTable(ROOT + "_rng", n_buckets=4, bucket_col="tile_id", key_max=996)
+        t.write_snapshot(_df(spark), job_id="r1", sort_col="tile_id")
+        # concatenated bucket ranges are disjoint and ascending
+        prev_max = -1
+        for m in t.lineage():
+            vals = [r.tile_id for r in
+                    spark.read.parquet(m["path"]).select("tile_id").collect()]
+            assert min(vals) > prev_max
+            prev_max = max(vals)
+        # within a bucket, file order == tile_id order (ordered archive)
+        m = t.lineage()[1]
+        for fn in m["files"]:
+            import pyarrow.parquet as pq
+            col = pq.read_table(f"{m['path']}/{fn}", columns=["tile_id"])["tile_id"].to_pylist()
+            assert col == sorted(col)
+    finally:
+        shutil.rmtree(ROOT + "_rng", ignore_errors=True)
 
 
 @pytest.mark.spark
@@ -77,3 +102,26 @@ def test_second_snapshot_supersedes(spark, table):
     table.write_snapshot(_df(spark).filter(F.col("id") < 100), job_id="b")
     assert table.current_snapshot_id() == 2
     assert table.read_current(spark).count() == 100
+    # snapshot 1's files are untouched (immutable snapshots) until vacuum
+    assert os.path.isdir(f"{ROOT}/data/a")
+    removed = table.vacuum()
+    assert f"{ROOT}/data/a" in removed
+    assert table.read_current(spark).count() == 100  # current data survives vacuum
+
+
+@pytest.mark.spark
+def test_append_snapshots_accumulate(spark, table):
+    """Streaming micro-batch semantics: each batch appends, nothing clobbered."""
+    table.write_snapshot(_df(spark).filter(F.col("id") < 2000),
+                         job_id="stream-batch-0", append=True)
+    table.write_snapshot(_df(spark).filter(F.col("id") >= 2000),
+                         job_id="stream-batch-1", append=True)
+    got = table.read_current(spark)
+    assert got.count() == 5000
+    assert {r.id for r in got.select("id").collect()} == set(range(5000))
+    # replayed micro-batch (restart) is a no-op: same snapshot, no duplicates
+    before = table.current_snapshot_id()
+    table.write_snapshot(_df(spark).filter(F.col("id") >= 2000),
+                         job_id="stream-batch-1", append=True)
+    assert table.current_snapshot_id() == before
+    assert table.read_current(spark).count() == 5000
