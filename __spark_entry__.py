@@ -334,16 +334,28 @@ def q_tile_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs (rows-only check; pytest covers semantics)."""
+    """Near-dup candidate pairs: mod-P minhash banding with hot-bucket cap;
+    the oracle replicates bucketing + join + cap exactly in SQL."""
     from mvt_wrangler_spark.operators import dedup as D
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return D.minhash_lsh_candidates(docs, num_hashes=16, bands=8, shingle=5)
+    return D.minhash_lsh_candidates(docs, num_hashes=16, bands=4, shingle=5,
+                                    max_bucket=1000)
+
+
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed embedding near-dup (the >1e6-vector scale path):
+    bucket equi-join candidates + exact int64 cosine refine, no N^2 stage."""
+    from mvt_wrangler_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_lsh(emb, id_col="vec_id", vec_col="embedding",
+                                 quant=100, cos_num=16, cos_den=100)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document (rows-only: JVM bit-vote
-    aggregate isn't SQL-portable; determinism pinned by pytest)."""
+    """62-bit SimHash fingerprint per document (two mod-P 31-bit hash
+    streams; bit-identical SQL twin)."""
     from mvt_wrangler_spark.operators.dedup import simhash64
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -394,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_phash": q_distinct_phash,
         "topk_events": q_topk_events,
         "embed_neardup": q_embed_neardup,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
         "tile_encode": q_tile_encode,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -604,8 +617,22 @@ WITH c AS (
 SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM c
 """
 
+    from mvt_wrangler_spark.operators.dedup import (
+        embedding_lsh_sql,
+        minhash_lsh_sql,
+        simhash_sql_expr,
+    )
+
+    minhash_lsh = minhash_lsh_sql(num_hashes=16, bands=4, shingle=5, max_bucket=1000)
+    simhash = ("SELECT doc_id, " + simhash_sql_expr("text", shingle=4)
+               + " AS simhash FROM documents")
+    embed_lsh = embedding_lsh_sql(quant=100, cos_num=16, cos_den=100)
+
     return {
         "tile_assign": tile_assign,
+        "minhash_lsh": minhash_lsh,
+        "simhash": simhash,
+        "embed_neardup_lsh": embed_lsh,
         "doc_fingerprint": doc_fp,
         "sessionize": sessionize,
         "quality_score": quality,
@@ -626,5 +653,4 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "text_stats": text_stats,
         "lang_id": lang_id,
         "ann_topk": ann,
-        # minhash_lsh: intentionally no oracle (hash-function-specific)
     }

@@ -1,5 +1,6 @@
 """Deduplication operators: phash-per-tile (north rule) + the training-data
-suite (exact, minhash-LSH, simhash) over text/bytes columns.
+suite (exact, minhash-LSH, simhash, embedding near-dup) over text/vector
+columns.
 
 The reference's only dedup is the per-tile dictionary re-encode
 (/root/reference/src/transform.rs:174-191); the graft promotes dedup to a
@@ -10,15 +11,27 @@ skew risk, but the group key INCLUDES phash, which is hash-uniform within a
 tile — so the shuffle key space is fine without salting; salting is applied
 in the tile-level aggregations (see rollup.py / pipeline.py) where the key is
 the bare tile.
+
+Hash family (shared by minhash + simhash, and mirrored exactly by the
+DuckDB oracle SQL builders below): all arithmetic in the mod P = 2^31-1
+domain so both engines compute bit-identical int64 values —
+  shingle hash  s_t = (sum_j code[t+j] * 257^j) mod P
+  minhash_i     min_t (s_t * (2i+1) + b_i) mod P,  b_i = (i*2654435761+7) mod P
+  band bucket k (sum_t m_{kw+t} * 31^t) mod P + k * 2^31
+  simhash       bit votes over two streams h1 = s, h2 = (s*2654435761+98765) mod P
+                (31 bits each -> 62-bit fingerprint)
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+
+P31 = 2147483647          # 2^31 - 1: keeps every product int64-safe (ANSI mode)
+GOLD = 2654435761         # 2^32 / golden ratio (Knuth multiplicative constant)
 
 
 def phash_dedup(df: DataFrame, keys: tuple[str, ...] = ("z", "x", "y", "phash"),
@@ -60,92 +73,98 @@ def exact_dedup(df: DataFrame, on: str, order_col: str) -> DataFrame:
 # Text near-dup: character-shingle minhash + LSH banding (documents table)
 # ---------------------------------------------------------------------------
 
-def _shingle_hashes(text_col, n: int = 5):
-    """Array of xxhash64 values of character n-gram shingles (JVM-side)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.xxhash64(text_col.substr(i, F.lit(n))))
+def _shingle_hashes_np(text: str, n: int) -> np.ndarray:
+    """Mod-P polynomial shingle hashes of the text's byte codes (int64).
 
-
-def minhash_signature(text_col, num_hashes: int = 32, shingle: int = 5):
-    """MinHash signature as array<long>, fully JVM-side.
-
-    One xxhash64 per shingle, then num_hashes cheap affine reshuffles
-    (a_i * h + b_i mod 2^61-1) minimized with aggregate() — no Python.
+    Matches shingle_hashes_sql_expr exactly on ASCII text (codes == bytes).
     """
-    base = _shingle_hashes(text_col, shingle)
-    P = 2147483647  # 2^31 - 1; reshuffles stay far from int64 overflow (ANSI mode)
-    sigs = []
-    for i in range(num_hashes):
-        a, b = 2 * i + 1, (i * 0x9E3779B9 + 7) % P
-        sigs.append(
-            F.array_min(F.transform(base, lambda h: F.pmod(F.pmod(h, F.lit(P)) * a + b, F.lit(P))))
-        )
-    return F.array(*sigs)
+    b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+    if len(b) < n:
+        b = np.pad(b, (0, n - len(b)), constant_values=32)  # rpad with spaces
+    win = np.lib.stride_tricks.sliding_window_view(b, n).astype(np.int64)
+    pows = np.array([pow(257, j, P31) for j in range(n)], dtype=np.int64)
+    return (win @ pows) % P31  # dot < n*255*P ~ 2.7e12, int64-safe
 
 
-def minhash_band_buckets(text_col, num_hashes: int = 32, bands: int = 8, shingle: int = 5):
-    """array<long> of LSH band-bucket hashes — vectorized numpy pandas UDF.
+def shingle_hashes_sql_expr(text: str, n: int) -> str:
+    """DuckDB list expr: the same mod-P shingle hashes over `text`."""
+    padded = f"rpad({text}, CAST(greatest(length({text}), {n}) AS INT), ' ')"
+    terms = " + ".join(
+        f"CAST(ascii(substr(__p, CAST(t + {j} AS INT), 1)) AS BIGINT) * {pow(257, j, P31)}"
+        for j in range(n)
+    )
+    return (
+        f"(SELECT list_transform(generate_series(1, greatest(length(__p) - {n - 1}, 1)), "
+        f"t -> ({terms}) % {P31}) FROM (SELECT {padded} AS __p))"
+    )
 
-    Spark's higher-order fns (transform/aggregate) evaluate interpreted per
-    element (~100x slower than codegen), so the signature is computed in one
-    Arrow-batched numpy pass: rolling polynomial shingle hash (sliding window
-    dot product, uint64 wraparound) -> splitmix64 mix -> num_hashes affine
-    mins -> per-band mix. Deterministic; no library hash functions.
+
+def minhash_band_buckets(text_col: Column, num_hashes: int = 16, bands: int = 4,
+                         shingle: int = 5) -> Column:
+    """array<long> of LSH band-bucket values — one vectorized numpy pass.
+
+    (Spark's higher-order fns evaluate interpreted per element, ~100x slower
+    than codegen — measured round 1 — so the signature is computed in a
+    single Arrow batch: shingle hashes -> num_hashes affine mins -> per-band
+    polynomial fold. All mod-P int64: the DuckDB twin
+    minhash_buckets_sql_expr computes identical values.)
     """
     width = num_hashes // bands
-    P = np.uint64(2147483647)
-    A = np.array([2 * i + 1 for i in range(num_hashes)], dtype=np.uint64)
-    B = np.array([(i * 0x9E3779B9 + 7) % 2147483647 for i in range(num_hashes)], dtype=np.uint64)
-    K = np.uint64(1099511628211)  # FNV prime as polynomial base
-    POWS = np.empty(shingle, dtype=np.uint64)
-    acc = 1
-    for j in range(shingle):
-        POWS[j] = acc
-        acc = (acc * int(K)) % (1 << 64)
-
-    def _mix(x: np.ndarray) -> np.ndarray:
-        x = (x + np.uint64(0x9E3779B97F4A7C15))
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return x ^ (x >> np.uint64(31))
+    A = np.array([2 * i + 1 for i in range(num_hashes)], dtype=np.int64)
+    B = np.array([(i * GOLD + 7) % P31 for i in range(num_hashes)], dtype=np.int64)
+    W = np.array([pow(31, t, P31) for t in range(width)], dtype=np.int64)
+    BAND_OFF = (np.arange(bands, dtype=np.int64) << 31)
 
     @pandas_udf("array<long>")
     def _buckets(texts: pd.Series) -> pd.Series:
         out = []
-        with np.errstate(over="ignore"):
-            for t in texts:
-                b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
-                if len(b) < shingle:
-                    b = np.pad(b, (0, shingle - len(b)), constant_values=32)
-                win = np.lib.stride_tricks.sliding_window_view(b, shingle).astype(np.uint64)
-                sh = _mix(win @ POWS)                      # (n_shingles,) u64
-                vals = ((sh[:, None] % P) * A + B) % P     # (n_shingles, H)
-                sig = vals.min(axis=0)                     # (H,)
-                bb = sig.reshape(bands, width)
-                bucket = _mix(
-                    bb @ POWS[:width] if width <= shingle
-                    else bb @ np.arange(1, width + 1, dtype=np.uint64)
-                )
-                bucket = (np.arange(bands, dtype=np.uint64) << np.uint64(56)) ^ bucket
-                out.append(bucket.astype(np.int64))
+        for t in texts:
+            s = _shingle_hashes_np(t, shingle)
+            vals = (s[:, None] * A + B) % P31        # (T, H); s*A < 33*P, safe
+            sig = vals.min(axis=0)                   # (H,)
+            folded = (sig.reshape(bands, width) @ W) % P31
+            out.append(folded + BAND_OFF)
         return pd.Series(out)
 
     return _buckets(text_col)
 
 
+def minhash_buckets_sql_expr(text: str, num_hashes: int = 16, bands: int = 4,
+                             shingle: int = 5) -> str:
+    """DuckDB list expr producing the same band buckets as minhash_band_buckets."""
+    width = num_hashes // bands
+    sh = shingle_hashes_sql_expr(text, shingle)
+    mins = (
+        f"list_transform(generate_series(0, {num_hashes - 1}), i -> "
+        f"list_min(list_transform(__sh, s -> (s * (2*i + 1) + (i * {GOLD} + 7) % {P31}) % {P31})))"
+    )
+    band = " + ".join(f"__m[k*{width} + {t + 1}] * {pow(31, t, P31)}" for t in range(width))
+    return (
+        f"(SELECT list_transform(generate_series(0, {bands - 1}), k -> "
+        f"(({band}) % {P31}) + (CAST(k AS BIGINT) << 31)) "
+        f"FROM (SELECT {mins} AS __m FROM (SELECT {sh} AS __sh)))"
+    )
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                           num_hashes: int = 32, bands: int = 8, shingle: int = 5) -> DataFrame:
+                           num_hashes: int = 16, bands: int = 4, shingle: int = 5,
+                           max_bucket: int = 1000) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
-    band-bucket hashes (one numpy UDF pass) -> explode -> self equi-join on
-    bucket -> distinct candidate id pairs (a < b). The bucket join is a
-    hash-uniform equi-join: scales as a standard shuffle; band index is
-    folded into the bucket hash so one join covers all bands.
+    band buckets (one numpy UDF pass) -> explode -> DROP HOT BUCKETS
+    (size > max_bucket: a degenerate bucket of B identical/empty docs would
+    emit O(B^2) pairs and straggle one reducer; real near-dup sets are small,
+    so the cap bounds every reducer's pair output at max_bucket^2 while the
+    dropped bucket ids remain queryable for a quadratic-safe fallback pass)
+    -> self equi-join on bucket -> distinct candidate id pairs (a < b).
     """
     banded = df.select(
         F.col(id_col).alias("id"),
         F.explode(minhash_band_buckets(F.col(text_col), num_hashes, bands, shingle)).alias("bucket"),
     )
+    sizes = banded.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
+    ok = sizes.filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket)).select("bucket")
+    banded = banded.join(ok, on="bucket")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on="bucket")
@@ -155,83 +174,235 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str 
     )
 
 
-def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
-                            vec_col: str = "embedding", quant: int = 100,
-                            cos_num: int = 16, cos_den: int = 100) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact integer test: keep (a < b) with
-    score>0 and score^2 * cos_den > cos_num * |a|^2 * |b|^2 (i.e. cos^2 >
-    cos_num/cos_den on `quant`-quantized vectors).
+def minhash_lsh_sql(table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text", num_hashes: int = 16, bands: int = 4,
+                    shingle: int = 5, max_bucket: int = 1000) -> str:
+    """DuckDB twin of minhash_lsh_candidates (bit-identical pairs)."""
+    bks = minhash_buckets_sql_expr(text_col, num_hashes, bands, shingle)
+    return f"""
+WITH __b AS (
+  SELECT {id_col} AS id, unnest({bks}) AS bucket FROM {table}),
+__ok AS (SELECT bucket FROM __b GROUP BY bucket HAVING count(*) BETWEEN 2 AND {max_bucket}),
+__f AS (SELECT __b.* FROM __b JOIN __ok USING (bucket))
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM __f a JOIN __f b USING (bucket) WHERE a.id < b.id
+"""
 
-    The comparison matrix is computed as an int64 matmul per Arrow batch
-    against the broadcast quantized matrix — identical results to the
-    per-pair SQL (Spark HOF aggregate is interpreted per element and ~50x
-    slower). Scale path: for >1e6 vectors, LSH-bucket by dominant-dimension
-    signs first and run this within buckets.
+
+def simhash64(text_col: Column, shingle: int = 4) -> Column:
+    """62-bit SimHash over character shingles — vectorized numpy bit-vote.
+
+    Two independent 31-bit hash streams per shingle (h1 = s, h2 = affine
+    reshuffle) supply bits 0-30 and 31-61; a bit is set when more than half
+    the shingles have it set. Mod-P arithmetic only, so simhash_sql_expr is
+    a bit-identical DuckDB twin. (A JVM higher-order-fn formulation needs 62
+    interpreted aggregate() passes per row — measured 39s for 500 docs;
+    this is one Arrow pass.)
     """
-    spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    Q = np.round(np.array([r[1] for r in rows], dtype=np.float64) * quant).astype(np.int64)
-    norms = (Q * Q).sum(axis=1)
-    bc = spark.sparkContext.broadcast((ids, Q, norms))
-
-    def _pairs(pdfs):
-        aids, aq, anorm = bc.value
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            bq = np.round(np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * quant).astype(np.int64)
-            bids = pdf[id_col].to_numpy(dtype=np.int64)
-            bnorm = (bq * bq).sum(axis=1)
-            S = bq @ aq.T  # (B, N) int64
-            # int64-safe: |q|<=quant, dim 64 -> S <= 64*quant^2 ~ 6.4e5;
-            # S^2*cos_den ~ 4e13 and norms product *cos_num ~ 7e12, both < 2^63
-            ok = (S > 0) & (S * S * cos_den > cos_num * np.outer(bnorm, anorm))
-            lt = bids[:, None] < aids[None, :]
-            bi, ai = np.nonzero(ok & lt)
-            yield pd.DataFrame({"id_a": bids[bi], "id_b": aids[ai]})
-
-    return df.select(id_col, vec_col).mapInPandas(_pairs, "id_a long, id_b long")
-
-
-def simhash64(text_col, shingle: int = 3):
-    """64-bit SimHash over character shingles — vectorized numpy bit-vote.
-
-    (A JVM higher-order-fn formulation needs 64 interpreted aggregate()
-    passes per row — measured 39s for 500 docs; this is one Arrow pass.)
-    Shingle hashing shares minhash's rolling-polynomial + splitmix64 mix.
-    """
-    K = np.uint64(1099511628211)
-    POWS = np.empty(shingle, dtype=np.uint64)
-    acc = 1
-    for j in range(shingle):
-        POWS[j] = acc
-        acc = (acc * int(K)) % (1 << 64)
-
-    def _mix(x: np.ndarray) -> np.ndarray:
-        x = (x + np.uint64(0x9E3779B97F4A7C15))
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return x ^ (x >> np.uint64(31))
 
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
         out = np.empty(len(texts), dtype=np.int64)
-        with np.errstate(over="ignore"):
-            for n, t in enumerate(texts):
-                b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
-                if len(b) < shingle:
-                    b = np.pad(b, (0, shingle - len(b)), constant_values=32)
-                win = np.lib.stride_tricks.sliding_window_view(b, shingle).astype(np.uint64)
-                sh = _mix(win @ POWS)  # (n_shingles,) u64
-                # bit votes: +1 where bit set, -1 where clear
-                bits = (sh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                votes = 2 * bits.astype(np.int64).sum(axis=0) - len(sh)
-                word = np.uint64(0)
-                setbits = np.nonzero(votes > 0)[0]
+        bitpos = np.arange(31, dtype=np.int64)
+        for n, t in enumerate(texts):
+            s = _shingle_hashes_np(t, shingle)
+            h2 = (s * GOLD + 98765) % P31
+            cnt = len(s)
+            word = np.int64(0)
+            for base, h in ((0, s), (31, h2)):
+                ones = ((h[:, None] >> bitpos) & 1).sum(axis=0)  # (31,)
+                setbits = np.nonzero(2 * ones > cnt)[0]
                 for i in setbits:
-                    word |= np.uint64(1) << np.uint64(i)
-                out[n] = np.int64(word.astype(np.int64))
+                    word |= np.int64(1) << np.int64(base + i)
+            out[n] = word
         return pd.Series(out)
 
     return _simhash(text_col)
+
+
+def simhash_sql_expr(text: str, shingle: int = 4) -> str:
+    """DuckDB expr: same 62-bit simhash as simhash64."""
+    sh = shingle_hashes_sql_expr(text, shingle)
+    votes1 = (
+        f"list_sum(list_transform(generate_series(0, 30), b -> "
+        f"CASE WHEN 2 * list_sum(list_transform(__sh, h -> (h >> b) & 1)) > len(__sh) "
+        f"THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))"
+    )
+    votes2 = (
+        f"list_sum(list_transform(generate_series(0, 30), b -> "
+        f"CASE WHEN 2 * list_sum(list_transform(__h2, h -> (h >> b) & 1)) > len(__h2) "
+        f"THEN (CAST(1 AS BIGINT) << (b + 31)) ELSE 0 END))"
+    )
+    return (
+        f"(SELECT CAST({votes1} + {votes2} AS BIGINT) "
+        f"FROM (SELECT __sh, list_transform(__sh, s -> (s * {GOLD} + 98765) % {P31}) AS __h2 "
+        f"FROM (SELECT {sh} AS __sh)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup: exact distributed all-pairs + LSH-bucketed scale path
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding", quant: int = 100,
+                            cos_num: int = 16, cos_den: int = 100,
+                            n_blocks: int = 8) -> DataFrame:
+    """EXACT all-pairs cosine near-dup (a < b, score>0, score^2 * cos_den >
+    cos_num * |a|^2 * |b|^2 on `quant`-quantized int vectors) — fully
+    distributed block-pair matmul, NO driver collect.
+
+    Rows hash into n_blocks blocks; each unordered block pair (i <= j) is a
+    shuffle group holding submatrices of both blocks, reduced with one int64
+    GEMM per group. Shuffle volume is ~(n_blocks/2 + 1) copies of the input
+    (each row joins every block it pairs with); per-task memory is
+    2 * (N/n_blocks) vectors — size n_blocks ~ N * dim * 8 / executor_mem so
+    blocks fit. Compute is the unavoidable exact O(N^2) — for >10^6 vectors
+    use embedding_neardup_lsh, which prunes candidates by sign-LSH first.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("b"),
+    )
+    left = base.select(
+        "id", "vec", F.lit(0).alias("side"), F.col("b").alias("bi"),
+        F.explode(F.sequence(F.col("b"), F.lit(n_blocks - 1))).alias("bj"),
+    )
+    right = base.select(
+        "id", "vec", F.lit(1).alias("side"),
+        F.explode(F.sequence(F.lit(0), F.col("b"))).alias("bi"),
+        F.col("b").alias("bj"),
+    )
+
+    def _block_pairs(key, pdf):
+        i, j = int(key[0]), int(key[1])
+        A = pdf[pdf["side"] == 0]
+        Bv = A if i == j else pdf[pdf["side"] == 1]
+        if not len(A) or not len(Bv):
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        qa = np.round(np.stack(A["vec"].to_numpy()).astype(np.float64) * quant).astype(np.int64)
+        qb = qa if i == j else np.round(
+            np.stack(Bv["vec"].to_numpy()).astype(np.float64) * quant).astype(np.int64)
+        ida = A["id"].to_numpy(dtype=np.int64)
+        idb = ida if i == j else Bv["id"].to_numpy(dtype=np.int64)
+        na, nb = (qa * qa).sum(axis=1), (qb * qb).sum(axis=1)
+        S = qa @ qb.T
+        # int64-safe: |q|<=quant, dim 64 -> S <= 64*quant^2 ~ 6.4e5;
+        # S^2*cos_den ~ 4e13 and norm-product*cos_num ~ 7e12, both < 2^63
+        ok = (S > 0) & (S * S * cos_den > cos_num * np.outer(na, nb))
+        lt = ida[:, None] < idb[None, :]
+        ai, bi_ = np.nonzero(ok & lt)
+        out_a, out_b = [ida[ai]], [idb[bi_]]
+        if i != j:  # cross blocks: the smaller id may sit on either side
+            ai2, bi2 = np.nonzero(ok & (ida[:, None] > idb[None, :]))
+            out_a.append(idb[bi2])
+            out_b.append(ida[ai2])
+        return pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
+
+    return (
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(_block_pairs, "id_a long, id_b long")
+    )
+
+
+def embedding_sign_buckets(vec_col: Column, quant: int = 100, nbits: int = 16,
+                           bands: int = 4, dim: int = 64) -> Column:
+    """array<long> of sign-pattern LSH band buckets per vector.
+
+    Deterministic small-integer hyperplanes h[j][i] = ((i*GOLD + j*40503 + 17)
+    mod 7) - 3; bit j = (q . h_j >= 0); band k of width nbits/bands folds its
+    bits into bucket k*2^w + bits. Pure int math — embedding_lsh_sql mirrors
+    it exactly.
+    """
+    width = nbits // bands
+    H = np.array([[((i * GOLD + j * 40503 + 17) % 7) - 3 for i in range(dim)]
+                  for j in range(nbits)], dtype=np.int64)  # (nbits, dim)
+    SH = (np.arange(width, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        Q = np.round(np.stack(vecs.to_numpy()).astype(np.float64) * quant).astype(np.int64)
+        proj = Q @ H.T                            # (N, nbits)
+        bits = (proj >= 0).astype(np.int64)
+        folded = (bits.reshape(len(Q), bands, width) << SH).sum(axis=2)  # (N, bands)
+        buckets = folded + (np.arange(bands, dtype=np.int64) * (1 << width))[None, :]
+        return pd.Series(list(buckets))
+
+    return _buckets(vec_col)
+
+
+def embedding_neardup_lsh(df: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding", quant: int = 100,
+                          cos_num: int = 16, cos_den: int = 100, nbits: int = 16,
+                          bands: int = 4, max_bucket: int = 2000) -> DataFrame:
+    """Scale path for embedding near-dup: sign-LSH bucket equi-join for
+    candidates (rows sharing >=1 band bucket), exact int64 cosine test within
+    buckets. Linear shuffle (bands copies of (id, bucket)), no N^2 anywhere;
+    hot buckets beyond max_bucket are dropped (bounded reducers). Recall is
+    the LSH collision probability — deterministic here, and the DuckDB twin
+    (embedding_lsh_sql) reproduces the exact same pair set.
+    """
+    qvec = F.transform(F.col(vec_col),
+                       lambda x: F.round(x.cast("double") * quant).cast("long"))
+    e = df.select(F.col(id_col).alias("id"), qvec.alias("q"),
+                  F.explode(embedding_sign_buckets(F.col(vec_col), quant, nbits, bands)
+                            ).alias("bucket"))
+    sizes = e.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
+    ok = sizes.filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket)).select("bucket")
+    e = e.join(ok, on="bucket")
+    a = e.select(F.col("id").alias("id_a"), F.col("q").alias("qa"), "bucket")
+    b = e.select(F.col("id").alias("id_b"), F.col("q").alias("qb"), "bucket")
+    cand = (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "qa", "qb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    na = F.aggregate(F.transform("qa", lambda x: x * x), F.lit(0).cast("long"),
+                     lambda acc, v: acc + v)
+    nb = F.aggregate(F.transform("qb", lambda x: x * x), F.lit(0).cast("long"),
+                     lambda acc, v: acc + v)
+    return (
+        cand.withColumn("__s", dot).withColumn("__na", na).withColumn("__nb", nb)
+        .filter((F.col("__s") > 0)
+                & (F.col("__s") * F.col("__s") * cos_den > cos_num * F.col("__na") * F.col("__nb")))
+        .select("id_a", "id_b")
+    )
+
+
+def embedding_lsh_sql(table: str = "embeddings", id_col: str = "vec_id",
+                      vec_col: str = "embedding", quant: int = 100,
+                      cos_num: int = 16, cos_den: int = 100, nbits: int = 16,
+                      bands: int = 4, max_bucket: int = 2000, dim: int = 64) -> str:
+    """DuckDB twin of embedding_neardup_lsh (identical pair set)."""
+    width = nbits // bands
+    proj = (
+        f"list_transform(generate_series(0, {nbits - 1}), j -> CASE WHEN "
+        f"list_sum(list_transform(generate_series(1, {dim}), i -> "
+        f"q[i] * (((i - 1) * {GOLD} + j * 40503 + 17) % 7 - 3))) >= 0 THEN 1 ELSE 0 END)"
+    )
+    fold = " + ".join(f"bits[k*{width} + {t + 1}] * {1 << t}" for t in range(width))
+    return f"""
+WITH __e AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {quant}) AS BIGINT)) AS q
+  FROM {table}),
+__p AS (SELECT id, q, {proj} AS bits FROM __e),
+__b AS (SELECT id, q, CAST(({fold}) + k * {1 << width} AS BIGINT) AS bucket
+        FROM __p, generate_series(0, {bands - 1}) t(k)),
+__ok AS (SELECT bucket FROM __b GROUP BY bucket HAVING count(*) BETWEEN 2 AND {max_bucket}),
+__f AS (SELECT __b.* FROM __b JOIN __ok USING (bucket)),
+__c AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.q AS qa, b.q AS qb
+        FROM __f a JOIN __f b USING (bucket) WHERE a.id < b.id),
+__s AS (SELECT id_a, id_b,
+               list_sum(list_transform(generate_series(1, {dim}), i -> qa[i] * qb[i])) AS s,
+               list_sum(list_transform(generate_series(1, {dim}), i -> qa[i] * qa[i])) AS na,
+               list_sum(list_transform(generate_series(1, {dim}), i -> qb[i] * qb[i])) AS nb
+        FROM __c)
+SELECT id_a, id_b FROM __s WHERE s > 0 AND s * s * {cos_den} > {cos_num} * na * nb
+"""

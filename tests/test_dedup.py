@@ -1,0 +1,104 @@
+"""Near-dup operators: distributed exact vs brute force, LSH candidate
+soundness, hot-bucket cap under adversarial (all-identical) input."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mvt_wrangler_spark.operators import dedup as D
+
+QUANT, COS_NUM, COS_DEN = 100, 16, 100
+
+
+def _synth_vectors(n: int, dim: int = 64, n_dups: int = 40, seed: int = 7):
+    """Random unit-ish vectors plus planted near-duplicates."""
+    rng = np.random.default_rng(seed)
+    V = rng.normal(size=(n, dim))
+    for t in range(n_dups):  # plant near-dups: small perturbations of earlier rows
+        V[n - 1 - t] = V[t] + rng.normal(scale=0.05, size=dim)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    return V
+
+
+def _brute_pairs(V: np.ndarray) -> set[tuple[int, int]]:
+    Q = np.round(V * QUANT).astype(np.int64)
+    norms = (Q * Q).sum(axis=1)
+    S = Q @ Q.T
+    ok = (S > 0) & (S * S * COS_DEN > COS_NUM * np.outer(norms, norms))
+    out = set()
+    for a, b in zip(*np.nonzero(np.triu(ok, 1))):
+        out.add((int(a), int(b)))
+    return out
+
+
+@pytest.mark.spark
+def test_exact_blockpairs_matches_bruteforce(spark):
+    V = _synth_vectors(600)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(len(V))],
+        "vec_id long, embedding array<float>",
+    ).repartition(8)
+    # float32 storage (array<float>) is what the real table uses — recompute
+    # the brute-force truth from the float32-rounded values
+    V32 = np.array([[np.float32(x) for x in row] for row in V], dtype=np.float64)
+    want = _brute_pairs(V32)
+    got = {(r.id_a, r.id_b) for r in
+           D.embedding_neardup_pairs(df, n_blocks=5).collect()}
+    assert got == want
+    # no pair may appear twice (each unordered block pair is one group)
+    rows = D.embedding_neardup_pairs(df, n_blocks=5).collect()
+    assert len(rows) == len(set((r.id_a, r.id_b) for r in rows))
+
+
+@pytest.mark.spark
+def test_lsh_pairs_are_subset_of_exact(spark):
+    V = _synth_vectors(600)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(len(V))],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {(r.id_a, r.id_b) for r in D.embedding_neardup_pairs(df).collect()}
+    lsh = {(r.id_a, r.id_b) for r in D.embedding_neardup_lsh(df).collect()}
+    assert lsh <= exact
+    # the planted strong near-dups should mostly survive the sign-LSH bands
+    assert len(lsh) >= len(exact) // 4, (len(lsh), len(exact))
+
+
+@pytest.mark.spark
+def test_minhash_hot_bucket_cap(spark):
+    """Adversarial: 3000 identical docs would make one bucket emit ~4.5M
+    pairs without the cap; with it the degenerate bucket is dropped."""
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(3000)]
+    rows += [(10000 + i, f"unique document number {i} with distinct words {i * 7}")
+             for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_lsh_candidates(docs, max_bucket=100)
+    assert pairs.count() < 100 * 100  # bounded output, no quadratic blowup
+
+    # with a big-enough cap, identical docs DO pair up (cap only guards skew)
+    small = spark.createDataFrame(rows[:20], "doc_id long, text string")
+    got = D.minhash_lsh_candidates(small, max_bucket=1000)
+    assert got.count() == 20 * 19 // 2
+
+
+@pytest.mark.spark
+def test_minhash_and_simhash_similarity_behavior(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river banks"),
+            (3, "completely different content about spark shuffle partitioning"),
+        ],
+        "doc_id long, text string",
+    )
+    cand = {(r.id_a, r.id_b) for r in D.minhash_lsh_candidates(docs).collect()}
+    assert (1, 2) in cand and (1, 3) not in cand
+
+    sh = {r.doc_id: r.s for r in
+          docs.select("doc_id", D.simhash64(F.col("text")).alias("s")).collect()}
+    d12 = bin(sh[1] ^ sh[2]).count("1")
+    d13 = bin(sh[1] ^ sh[3]).count("1")
+    assert d12 < d13
+    assert all(0 <= v < (1 << 62) for v in sh.values())
