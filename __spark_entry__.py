@@ -239,16 +239,17 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched H3/S2 cell encoding (rows-only: no SQL-expressible oracle;
-    pytest property suite covers hierarchy/locality/parity)."""
+    """Full S2 (level 12) + H3-style (res 7) cell ids from unit-sphere xyz,
+    native codegen paths — with a BIT-EXACT DuckDB twin (the from-xyz
+    encoders are trig-free: divide/sqrt/int ops only, all IEEE-exact).
+    The lat/lng pandas-UDF encoders are pytest-covered (bit-equal kernels)."""
     from mvt_wrangler_spark.functions import cells as C
+    from mvt_wrangler_spark.sources.points import synth_xyz
 
-    pts = _points(spark, sf_dir)
-    return pts.select(
-        "id",
-        C.s2_cell_column(F.col("lat"), F.col("lon"), level=12).alias("s2_cell"),
-        C.h3_cell_column(F.col("lat"), F.col("lon"), res=7).alias("h3_cell"),
-    )
+    pts = synth_xyz(spark, sf_dir)
+    out = C.with_s2_cell_from_xyz(pts, level=12, x="x", y="y", z="z", out="s2_cell")
+    out = C.with_h3_cell_from_xyz(out, res=7, x="x", y="y", z="z", out="h3_cell")
+    return out.select("id", "s2_cell", "h3_cell")
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -623,6 +624,16 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         simhash_sql_expr,
     )
 
+    from mvt_wrangler_spark.functions.cells import h3_cell_sql, s2_cell_sql
+    from mvt_wrangler_spark.sources.points import XYZ_SQL
+
+    s2_ctes, s2_last, s2_expr = s2_cell_sql(level=12, base="__xyz")
+    h3_ctes, h3_last, h3_expr = h3_cell_sql(res=7, base=s2_last)
+    cell_encode = (
+        f"WITH __xyz AS ({XYZ_SQL}),\n" + ",\n".join(s2_ctes + h3_ctes)
+        + f"\nSELECT id, {s2_expr} AS s2_cell, {h3_expr} AS h3_cell FROM {h3_last}"
+    )
+
     minhash_lsh = minhash_lsh_sql(num_hashes=16, bands=4, shingle=5, max_bucket=1000)
     simhash = ("SELECT doc_id, " + simhash_sql_expr("text", shingle=4)
                + " AS simhash FROM documents")
@@ -630,6 +641,7 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
 
     return {
         "tile_assign": tile_assign,
+        "cell_encode": cell_encode,
         "minhash_lsh": minhash_lsh,
         "simhash": simhash,
         "embed_neardup_lsh": embed_lsh,

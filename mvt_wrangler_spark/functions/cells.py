@@ -178,6 +178,16 @@ _RES0_SCALE = 2.0  # hexes per face radius at res 0 (gnomonic units)
 H3_MAX_RES = 13  # 5b face + 4b res + 2x20b axial fits int64 through res 13
 
 
+def _h3_rot_consts(res: int) -> tuple[float, float, float]:
+    """(cos, sin, scale) of the res rotation — computed ONCE in Python so the
+    numpy kernel, the native column path, and the SQL oracle embed the exact
+    same double literals (no per-engine trig at runtime)."""
+    import math
+
+    theta = res * float(_ROT7)
+    return math.cos(theta), math.sin(theta), float(_RES0_SCALE * _SQRT7 ** res)
+
+
 def h3_cell(lat_deg, lng_deg, res: int = 7) -> np.ndarray:
     """Vectorized H3-style cell id (int64) at resolution `res` (0..13).
 
@@ -193,10 +203,9 @@ def h3_cell(lat_deg, lng_deg, res: int = 7) -> np.ndarray:
     Q = P / dot[:, None]  # gnomonic projection onto tangent plane
     px = np.einsum("ij,ij->i", Q - c, _H3_E1[face])
     py = np.einsum("ij,ij->i", Q - c, _H3_E2[face])
-    # rotate + scale for the target resolution
-    theta = res * _ROT7
-    scale = _RES0_SCALE * _SQRT7 ** res
-    ca, sa = np.cos(theta), np.sin(theta)
+    # rotate + scale for the target resolution (shared consts: bit-identical
+    # to the native column path and the SQL oracle)
+    ca, sa, scale = _h3_rot_consts(res)
     rx = (px * ca - py * sa) * scale
     ry = (px * sa + py * ca) * scale
     # planar xy -> fractional axial hex coords (pointy-top)
@@ -226,11 +235,16 @@ def h3_unpack(cell) -> tuple[int, int, int, int]:
 
 
 def _cube_round(qf: np.ndarray, rf: np.ndarray):
-    """Nearest hex center in axial coords (standard cube rounding)."""
+    """Nearest hex center in axial coords (standard cube rounding).
+
+    Ties round HALF-UP via floor(x + 0.5) — the same tie-break as the native
+    column path and the SQL oracle (np.round is half-to-EVEN, which would
+    diverge from Spark's F.floor(x+0.5) on exact .5 fractional coords).
+    """
     sf = -qf - rf
-    q = np.round(qf)
-    r = np.round(rf)
-    s = np.round(sf)
+    q = np.floor(qf + 0.5)
+    r = np.floor(rf + 0.5)
+    s = np.floor(sf + 0.5)
     dq, dr, ds = np.abs(q - qf), np.abs(r - rf), np.abs(s - sf)
     fix_q = (dq > dr) & (dq > ds)
     fix_r = ~fix_q & (dr > ds)
@@ -260,7 +274,7 @@ def h3_cell_column(lat: Column, lng: Column, res: int = 7) -> Column:
 
 def with_s2_cell_native(df, level: int = 12, lat: str = "lat", lng: str = "lng",
                         out: str = "s2_cell"):
-    """S2 cell id as column math: xyz -> face/uv -> st -> ij -> Hilbert."""
+    """S2 cell id as column math: lat/lng -> xyz, then the from-xyz core."""
     from pyspark.sql import functions as F
 
     la, ln = F.radians(F.col(lat)), F.radians(F.col(lng))
@@ -269,6 +283,20 @@ def with_s2_cell_native(df, level: int = 12, lat: str = "lat", lng: str = "lng",
         "__sy": F.cos(la) * F.sin(ln),
         "__sz": F.sin(la),
     })
+    return with_s2_cell_from_xyz(df, level, "__sx", "__sy", "__sz", out).drop(
+        "__sx", "__sy", "__sz")
+
+
+def with_s2_cell_from_xyz(df, level: int = 12, x: str = "x", y: str = "y",
+                          z: str = "z", out: str = "s2_cell"):
+    """S2 cell id from unit-sphere xyz columns: face/uv -> st -> ij -> Hilbert.
+
+    Trig-free (division/sqrt/int ops only — all IEEE-exact), so the SQL twin
+    s2_cell_sql computes bit-identical ids from the same xyz doubles.
+    """
+    from pyspark.sql import functions as F
+
+    df = df.withColumns({"__sx": F.col(x), "__sy": F.col(y), "__sz": F.col(z)})
     ax, ay, az = F.abs(F.col("__sx")), F.abs(F.col("__sy")), F.abs(F.col("__sz"))
     base = (
         F.when((ax >= ay) & (ax >= az), F.lit(0))
@@ -338,7 +366,7 @@ def with_s2_cell_native(df, level: int = 12, lat: str = "lat", lng: str = "lng",
 
 def with_h3_cell_native(df, res: int = 7, lat: str = "lat", lng: str = "lng",
                         out: str = "h3_cell"):
-    """H3-style cell id as column math: face argmax -> gnomonic -> hex round."""
+    """H3-style cell id as column math: lat/lng -> xyz, then from-xyz core."""
     from pyspark.sql import functions as F
 
     la, ln = F.radians(F.col(lat)), F.radians(F.col(lng))
@@ -347,6 +375,18 @@ def with_h3_cell_native(df, res: int = 7, lat: str = "lat", lng: str = "lng",
         "__hy3": F.cos(la) * F.sin(ln),
         "__hz3": F.sin(la),
     })
+    return with_h3_cell_from_xyz(df, res, "__hx3", "__hy3", "__hz3", out).drop(
+        "__hx3", "__hy3", "__hz3")
+
+
+def with_h3_cell_from_xyz(df, res: int = 7, x: str = "x", y: str = "y",
+                          z: str = "z", out: str = "h3_cell"):
+    """H3-style cell id from unit-sphere xyz: face argmax -> gnomonic -> hex
+    round. Trig-free at runtime (rotation angles fold to Python literals), so
+    h3_cell_sql is a bit-identical DuckDB twin over the same xyz doubles."""
+    from pyspark.sql import functions as F
+
+    df = df.withColumns({"__hx3": F.col(x), "__hy3": F.col(y), "__hz3": F.col(z)})
     x, y, z = F.col("__hx3"), F.col("__hy3"), F.col("__hz3")
     # argmax over the 20 face centers: materialize each dot ONCE as a column
     # (a CASE over un-materialized dots duplicates every product 20x), then
@@ -373,19 +413,18 @@ def with_h3_cell_native(df, res: int = 7, lat: str = "lat", lng: str = "lng",
     qx, qy, qz = x / dot - cx, y / dot - cy, z / dot - cz
     px = qx * e1xc + qy * e1yc + qz * e1zc
     py = qx * e2xc + qy * e2yc + qz * e2zc
-    theta = res * float(_ROT7)
-    scale = float(_RES0_SCALE * _SQRT7 ** res)
-    import math as _m
-
-    ca, sa = _m.cos(theta), _m.sin(theta)
+    ca, sa, scale = _h3_rot_consts(res)
     rx = (px * ca - py * sa) * scale
     ry = (px * sa + py * ca) * scale
     qf = F.lit(float(np.sqrt(3.0) / 3.0)) * rx - ry / 3.0
     rf = 2.0 / 3.0 * ry
     df = df.withColumns({"__qf": qf, "__rf": rf, "__sf": -qf - rf})
-    qr = F.round(F.col("__qf")).cast("long")
-    rr = F.round(F.col("__rf")).cast("long")
-    sr = F.round(F.col("__sf")).cast("long")
+    # floor(x + 0.5): HALF-UP ties, matching _cube_round and the SQL oracle
+    # (F.round is HALF_UP too but np.round is half-even; floor(x+0.5) is the
+    # one formulation all three paths state identically)
+    qr = F.floor(F.col("__qf") + 0.5).cast("long")
+    rr = F.floor(F.col("__rf") + 0.5).cast("long")
+    sr = F.floor(F.col("__sf") + 0.5).cast("long")
     df = df.withColumns({"__q": qr, "__r": rr, "__s": sr})
     dq = F.abs(F.col("__q") - F.col("__qf"))
     dr = F.abs(F.col("__r") - F.col("__rf"))
@@ -408,3 +447,121 @@ def with_h3_cell_native(df, res: int = 7, lat: str = "lat", lng: str = "lng",
     return df.withColumn(out, cell).drop(
         "__hx3", "__hy3", "__hz3", "__hface", "__qf", "__rf", "__sf",
         "__q", "__r", "__s", "__q2", "__r2")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL twins (for the driver's oracle): the from-xyz encoders are
+# trig-free (division / sqrt / integer ops / argmax over literal-dot columns),
+# every one of which is IEEE-exact in both engines, so these produce
+# BIT-IDENTICAL cell ids from the same xyz doubles.
+# ---------------------------------------------------------------------------
+
+def _dlit(v: float) -> str:
+    """Exact double literal: string-parse guarantees IEEE-nearest in DuckDB."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def s2_cell_sql(level: int = 12, x: str = "x", y: str = "y", z: str = "z",
+                base: str = "__xyz") -> tuple[list[str], str, str]:
+    """Chained-CTE SQL computing the same S2 cell id as with_s2_cell_from_xyz.
+
+    Returns (cte_list, final_cte_name, cell_id_expr). The final id is built
+    in HUGEINT (DuckDB checks BIGINT shift overflow) then wrapped to signed
+    int64 exactly like the JVM's shiftleft wraparound.
+    """
+    L = [
+        (f"s0 AS (SELECT *, CASE WHEN abs({x}) >= abs({y}) AND abs({x}) >= abs({z}) "
+         f"THEN CASE WHEN {x} < 0 THEN 3 ELSE 0 END "
+         f"WHEN abs({y}) >= abs({z}) THEN CASE WHEN {y} < 0 THEN 4 ELSE 1 END "
+         f"ELSE CASE WHEN {z} < 0 THEN 5 ELSE 2 END END AS s2f FROM {base})"),
+        (f"s1 AS (SELECT *, "
+         f"CASE s2f WHEN 0 THEN {y}/{x} WHEN 1 THEN -{x}/{y} WHEN 2 THEN -{x}/{z} "
+         f"WHEN 3 THEN {z}/{x} WHEN 4 THEN {z}/{y} ELSE -{y}/{z} END AS s2u, "
+         f"CASE s2f WHEN 0 THEN {z}/{x} WHEN 1 THEN {z}/{y} WHEN 2 THEN -{y}/{z} "
+         f"WHEN 3 THEN {y}/{x} WHEN 4 THEN -{x}/{y} ELSE -{x}/{z} END AS s2v FROM s0)"),
+    ]
+
+    def st(c: str) -> str:
+        return (f"CASE WHEN {c} >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * {c}) "
+                f"ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * {c}) END")
+
+    lim = (1 << _MAX_LEVEL) - 1
+    L.append(
+        f"s2 AS (SELECT *, "
+        f"greatest(0, least({lim}, CAST(floor(({st('s2u')}) * {float(1 << _MAX_LEVEL)!r}) AS BIGINT))) AS s2i, "
+        f"greatest(0, least({lim}, CAST(floor(({st('s2v')}) * {float(1 << _MAX_LEVEL)!r}) AS BIGINT))) AS s2j, "
+        f"CAST(s2f & 1 AS BIGINT) AS s2o, CAST(0 AS BIGINT) AS s2p FROM s1)"
+    )
+    lut_ij2pos = sum(int(_IJ_TO_POS[o][ij]) << (2 * (o * 4 + ij))
+                     for o in range(4) for ij in range(4))
+    lut_pos2orient = sum(int(_POS_TO_ORIENT[p]) << (2 * p) for p in range(4))
+    i = 2
+    for k in range(_MAX_LEVEL - 1, _MAX_LEVEL - 1 - level, -1):
+        i += 1
+        L.append(
+            f"s{i} AS (SELECT *, ((s2i >> {k}) & 1) * 2 + ((s2j >> {k}) & 1) AS sij, "
+            f"({lut_ij2pos} >> CAST((s2o * 4 + (((s2i >> {k}) & 1) * 2 + ((s2j >> {k}) & 1))) * 2 AS INT)) & 3 AS sp "
+            f"FROM s{i-1})"
+        )
+        i += 1
+        L.append(
+            f"s{i} AS (SELECT * EXCLUDE (s2o, s2p, sij, sp), "
+            f"(s2p << 2) | sp AS s2p, "
+            f"xor(s2o, ({lut_pos2orient} >> CAST(sp * 2 AS INT)) & 3) AS s2o FROM s{i-1})"
+        )
+    shift_pos = 2 * (_MAX_LEVEL - level) + 1
+    lsb = 1 << (2 * (_MAX_LEVEL - level))
+    v = (f"(CAST(s2f AS HUGEINT) * {1 << 61} + CAST(s2p AS HUGEINT) * {1 << shift_pos} "
+         f"+ {lsb})")
+    expr = (f"CAST(CASE WHEN {v} >= 9223372036854775808 "
+            f"THEN {v} - 18446744073709551616 ELSE {v} END AS BIGINT)")
+    return L, f"s{i}", expr
+
+
+def h3_cell_sql(res: int = 7, x: str = "x", y: str = "y", z: str = "z",
+                base: str = "__xyz") -> tuple[list[str], str, str]:
+    """Chained-CTE SQL computing the same cell id as with_h3_cell_from_xyz.
+
+    Returns (cte_list, final_cte_name, cell_id_expr)."""
+    dots = ", ".join(
+        f"{x} * {_dlit(c[0])} + {y} * {_dlit(c[1])} + {z} * {_dlit(c[2])}"
+        for c in _H3_CENTERS
+    )
+
+    def pick(vals) -> str:
+        return "([" + ", ".join(_dlit(v) for v in vals) + "])[h3f + 1]"
+
+    ca, sa, scale = _h3_rot_consts(res)
+    k_qf = float(np.sqrt(3.0) / 3.0)
+    L = [
+        f"g0 AS (SELECT *, [{dots}] AS h3d FROM {base})",
+        ("g1 AS (SELECT * EXCLUDE (h3d), "
+         "CAST(list_position(h3d, list_max(h3d)) - 1 AS INT) AS h3f FROM g0)"),
+        (f"g2 AS (SELECT *, {pick(_H3_CENTERS[:, 0])} AS hcx, "
+         f"{pick(_H3_CENTERS[:, 1])} AS hcy, {pick(_H3_CENTERS[:, 2])} AS hcz, "
+         f"{pick(_H3_E1[:, 0])} AS e1x, {pick(_H3_E1[:, 1])} AS e1y, {pick(_H3_E1[:, 2])} AS e1z, "
+         f"{pick(_H3_E2[:, 0])} AS e2x, {pick(_H3_E2[:, 1])} AS e2y, {pick(_H3_E2[:, 2])} AS e2z "
+         f"FROM g1)"),
+        (f"g3 AS (SELECT *, {x} * hcx + {y} * hcy + {z} * hcz AS hdot FROM g2)"),
+        (f"g4 AS (SELECT *, {x} / hdot - hcx AS hqx, {y} / hdot - hcy AS hqy, "
+         f"{z} / hdot - hcz AS hqz FROM g3)"),
+        ("g5 AS (SELECT *, hqx * e1x + hqy * e1y + hqz * e1z AS hpx, "
+         "hqx * e2x + hqy * e2y + hqz * e2z AS hpy FROM g4)"),
+        (f"g6 AS (SELECT *, (hpx * {_dlit(ca)} - hpy * {_dlit(sa)}) * {_dlit(scale)} AS hrx, "
+         f"(hpx * {_dlit(sa)} + hpy * {_dlit(ca)}) * {_dlit(scale)} AS hry FROM g5)"),
+        (f"g7 AS (SELECT *, {_dlit(k_qf)} * hrx - hry / 3.0 AS hqf, "
+         f"{_dlit(2.0 / 3.0)} * hry AS hrf FROM g6)"),
+        ("g8 AS (SELECT *, -hqf - hrf AS hsf, "
+         "CAST(floor(hqf + 0.5) AS BIGINT) AS hq, "
+         "CAST(floor(hrf + 0.5) AS BIGINT) AS hr FROM g7)"),
+        ("g9 AS (SELECT *, CAST(floor(hsf + 0.5) AS BIGINT) AS hs, "
+         "abs(hq - hqf) AS hdq, abs(hr - hrf) AS hdr FROM g8)"),
+        ("g10 AS (SELECT *, abs(hs - hsf) AS hds FROM g9)"),
+        ("g11 AS (SELECT *, CASE WHEN hdq > hdr AND hdq > hds THEN -hr - hs ELSE hq END AS hq2 "
+         "FROM g10)"),
+        ("g12 AS (SELECT *, CASE WHEN NOT (hdq > hdr AND hdq > hds) AND hdr > hds "
+         "THEN -hq2 - hs ELSE hr END AS hr2 FROM g11)"),
+    ]
+    expr = (f"((CAST(h3f AS BIGINT) << 49) | {res << 45} "
+            f"| ((hq2 + {1 << 19}) << 20) | (hr2 + {1 << 19}))")
+    return L, "g12", expr

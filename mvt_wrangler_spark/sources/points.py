@@ -51,6 +51,41 @@ FROM lineitem
 """
 
 
+def synth_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """id, x, y, z unit-sphere points from lineitem integers — NO trig.
+
+    lat/lng -> xyz needs sin/cos, which are not correctly-rounded and can
+    differ by 1 ulp between the JVM and libm; synthesizing xyz directly from
+    integers (+0.25 so no component is 0) and normalizing with sqrt (IEEE
+    correctly-rounded) keeps the cell-encode oracle bit-exact end to end.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber").cast("long")
+    x0 = (F.pmod(ok * 7919 + ln * 104729, F.lit(2001)) - 1000).cast("double") + 0.25
+    y0 = (F.pmod(ok * 104729 + ln * 7919, F.lit(2001)) - 1000).cast("double") + 0.25
+    z0 = (F.pmod(ok * 52379 + ln * 31337, F.lit(2001)) - 1000).cast("double") + 0.25
+    r = F.sqrt(x0 * x0 + y0 * y0 + z0 * z0)
+    return li.select(
+        (ok * 8 + ln).alias("id"),
+        (x0 / r).alias("x"), (y0 / r).alias("y"), (z0 / r).alias("z"),
+    )
+
+
+def _imod(expr: str, m: int) -> str:
+    return f"(({expr}) % {m} + {m}) % {m}"
+
+
+XYZ_SQL = f"""
+SELECT id, x0 / r AS x, y0 / r AS y, z0 / r AS z FROM (
+  SELECT id, x0, y0, z0, sqrt(x0*x0 + y0*y0 + z0*z0) AS r FROM (
+    SELECT CAST(l_orderkey*8 + l_linenumber AS BIGINT) AS id,
+           CAST({_imod('l_orderkey*7919 + CAST(l_linenumber AS BIGINT)*104729', 2001)} - 1000 AS DOUBLE) + 0.25 AS x0,
+           CAST({_imod('l_orderkey*104729 + CAST(l_linenumber AS BIGINT)*7919', 2001)} - 1000 AS DOUBLE) + 0.25 AS y0,
+           CAST({_imod('l_orderkey*52379 + CAST(l_linenumber AS BIGINT)*31337', 2001)} - 1000 AS DOUBLE) + 0.25 AS z0
+    FROM lineitem))
+"""
+
+
 # Convex CCW hexagons used by the oracle-checked PIP join: vertices are
 # Python floats embedded as literals on both sides (identical doubles).
 def hexagon(cx: float, cy: float, r: float) -> list[tuple[float, float]]:

@@ -116,3 +116,21 @@ def test_cell_columns_match_numpy(spark):
     got = {r.id: (r.s2, r.h3) for r in out}
     for i in range(len(rows)):
         assert got[i] == (s2[i], h3[i])
+
+
+def test_cube_round_half_up_ties():
+    """Exact .5 fractional axial coords round HALF-UP (floor(x+0.5)) in the
+    numpy kernel — the same formula the native column path and SQL oracle
+    state, so hex-edge midpoints can't diverge between paths (np.round would
+    give half-to-even here)."""
+    import numpy as np
+
+    from mvt_wrangler_spark.functions.cells import _cube_round
+
+    qf = np.array([0.5, 1.5, -0.5, -1.5, 2.5])
+    rf = np.array([0.0, 0.0, 0.0, 0.0, 0.0])
+    q, r = _cube_round(qf, rf)
+    # floor(x+0.5): 0.5->1, 1.5->2, -0.5->0, -1.5->-1, 2.5->3
+    # (np.round half-even would give 0, 2, -0, -2, 2)
+    assert list(q) == [1, 2, 0, -1, 3]
+    assert list(r) == [0, 0, 0, 0, 0]
