@@ -321,17 +321,33 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    quant=100, cos_num=16, cos_den=100)
 
 
-def q_tile_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-tile blob encode (first-seen-order dictionaries; rows-only check —
-    blob bytes aren't SQL-expressible; pytest decodes and verifies)."""
+def _tile_encode_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points with a variable tag map: 'kind' always, 'name' on 1/3 of rows —
+    so per-tile dictionaries have real first-seen-order content to check."""
     from mvt_wrangler_spark.functions import tiling
+
+    pts = _points(spark, sf_dir)
+    full = F.create_map(
+        F.lit("kind"), F.col("kind"),
+        F.lit("name"), F.concat(F.lit("n"), F.pmod(F.col("id"), F.lit(997))),
+    )
+    has_name = F.pmod(F.col("id"), F.lit(3)) == 0
+    pts = pts.withColumn(
+        "tags", F.map_filter(full, lambda k, v: (k != F.lit("name")) | has_name))
+    pts = pts.withColumn("image_id", F.col("id").cast("string"))
+    return tiling.assign_tiles(pts, z=6)
+
+
+def q_tile_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The archive encoder's per-(tile, layer) dictionaries as flat columns:
+    keys/values in FIRST-SEEN order (transform.rs:174-191 A1 semantics),
+    computed by the same _layer_dictionaries the MVT blob encoder uses. The
+    blob bytes themselves are pytest-pinned (golden bytes + decode round-trip)."""
     from mvt_wrangler_spark.operators import tile_encode as TE
 
-    pts = _points(spark, sf_dir).withColumn(
-        "tags", F.create_map(F.lit("kind"), F.col("kind")))
-    pts = pts.withColumn("image_id", F.col("id").cast("string"))
-    assigned = tiling.assign_tiles(pts, z=6)
-    return TE.encode_tiles(assigned).select("z", "x", "y", "tile_id", "n_features", "data")
+    return TE.tile_dictionary_stats(_tile_encode_input(spark, sf_dir)).select(
+        "x", "y", "tile_id", "layer", "n_features", "n_keys", "n_values",
+        "keys_joined", "values_joined")
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,6 +516,47 @@ __r AS (SELECT id, x, y, phash,
 SELECT id, x, y, phash FROM __r WHERE rn = 1
 """
 
+    # tile_encode: replicate the encoder's first-seen-order dictionaries in
+    # SQL — key order = (first feature containing the key, key asc within
+    # that feature's sorted iteration); value order = (first feature, first
+    # key at that feature). Matches _layer_dictionaries' factorize exactly.
+    ctes6, last6, tid6 = pmtiles_tile_id_sql(6, "x", "y", "__t0")
+    tile_encode = f"""
+WITH {pts},
+__t0 AS (SELECT id, CAST(id AS VARCHAR) AS image_id, layer, kind,
+                {tile_x_sql('lon', 6)} AS x, {tile_y_sql('lat', 6)} AS y,
+                'n' || CAST(id % 997 AS VARCHAR) AS nameval,
+                (id % 3) = 0 AS has_name
+         FROM __pts),
+{",".join(ctes6)},
+__t AS (SELECT *, {tid6} AS tile_id FROM {last6}),
+__r AS (SELECT x, y, tile_id, layer, kind, nameval, has_name,
+               row_number() OVER (PARTITION BY x, y, layer ORDER BY image_id) AS rn
+        FROM __t),
+__e AS (
+  SELECT x, y, layer, rn, 'kind' AS key, kind AS val FROM __r
+  UNION ALL
+  SELECT x, y, layer, rn, 'name' AS key, nameval AS val FROM __r WHERE has_name),
+__k AS (SELECT x, y, layer, key, min(rn) AS frn FROM __e GROUP BY 1, 2, 3, 4),
+__kj AS (SELECT x, y, layer, CAST(count(*) AS INT) AS n_keys,
+                string_agg(key, ',' ORDER BY frn, key) AS keys_joined
+         FROM __k GROUP BY 1, 2, 3),
+__vf AS (SELECT x, y, layer, val, min(rn) AS frn FROM __e GROUP BY 1, 2, 3, 4),
+__v2 AS (SELECT e.x, e.y, e.layer, e.val, v.frn, min(e.key) AS fkey
+         FROM __e e JOIN __vf v
+           ON e.x = v.x AND e.y = v.y AND e.layer = v.layer
+          AND e.val = v.val AND e.rn = v.frn
+         GROUP BY 1, 2, 3, 4, 5),
+__vj AS (SELECT x, y, layer, CAST(count(*) AS INT) AS n_values,
+                string_agg(val, ',' ORDER BY frn, fkey) AS values_joined
+         FROM __v2 GROUP BY 1, 2, 3),
+__nf AS (SELECT x, y, tile_id, layer, CAST(count(*) AS BIGINT) AS n_features
+         FROM __r GROUP BY 1, 2, 3, 4)
+SELECT __nf.x, __nf.y, __nf.tile_id, __nf.layer, n_features, n_keys, n_values,
+       keys_joined, values_joined
+FROM __nf JOIN __kj USING (x, y, layer) JOIN __vj USING (x, y, layer)
+"""
+
     # tag_filter truth, precomputed from the fixture rule semantics:
     # pgf:name:ja dropped (starts-with pgf:name:), name:fr dropped (capture
     # 'fr' not in keep list); name ('' capture), name:ja, kind kept.
@@ -642,6 +699,7 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
     return {
         "tile_assign": tile_assign,
         "cell_encode": cell_encode,
+        "tile_encode": tile_encode,
         "minhash_lsh": minhash_lsh,
         "simhash": simhash,
         "embed_neardup_lsh": embed_lsh,

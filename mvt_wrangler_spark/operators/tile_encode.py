@@ -1,4 +1,4 @@
-"""Per-tile blob encode: the MVT re-encode + dictionary dedup analog.
+"""Per-tile blob encode: real MVT protobuf + dictionary dedup (A1/S3/S6/S5).
 
 Reference behavior being re-expressed (/root/reference/src/transform.rs):
   - per tile, per layer: rebuild keys/values dictionaries in FIRST-SEEN order
@@ -11,67 +11,220 @@ Reference behavior being re-expressed (/root/reference/src/transform.rs):
     blobs are byte-deterministic (SURVEY §3.3).
 
 Spark realization: groupBy(tile) -> applyInPandas encode (pandas.factorize
-gives exactly first-seen-order dictionary codes) -> blob per tile ->
-repartitionByRange(tile_id).sortWithinPartitions write = the ordered archive.
+gives exactly first-seen-order dictionary codes, vectorized — not a per-row
+position() scan) -> real gzip'd MVT-protobuf blob per tile (functions/mvt.py,
+public wire format) -> repartitionByRange(tile_id).sortWithinPartitions
+write = the ordered archive.
 
-Blob format (ours — deterministic, self-contained, gzip'd JSON-lines header +
-packed arrays; a production system would emit real MVT protobuf here, same
-plumbing): see _encode_tile_blob.
+tile_dictionary_stats exposes the same dictionaries as flat columns so the
+driver's DuckDB oracle can value-check the first-seen-order semantics
+(the blob bytes themselves are pytest-pinned via decode round-trip).
 """
 
 from __future__ import annotations
 
 import gzip
-import json
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+
+from ..functions import mvt
 
 TILE_SCHEMA = "z int, x bigint, y bigint, tile_id bigint, n_features bigint, data binary"
+DICT_SCHEMA = ("z int, x bigint, y bigint, tile_id bigint, layer string, "
+               "n_features bigint, n_keys int, n_values int, "
+               "keys_joined string, values_joined string")
+
+_EMPTY_CODES = np.array([], dtype=np.int64)
+
+
+def _layer_dictionaries(pdf: pd.DataFrame):
+    """Per-layer FIRST-SEEN-ORDER dictionaries, vectorized with
+    pandas.factorize (transform.rs:174-191 semantics; the round-1 per-row
+    position() loop measured ~20x slower at 1M features).
+
+    pdf must be pre-sorted (feature order == dictionary discovery order);
+    within a feature, tag keys iterate sorted (deterministic blobs).
+    Yields (layer_name, info) in first-seen layer order, where info has
+    keys / values (first-seen order), pair_codes (flat interleaved key/value
+    index pairs), pair_counts (values per feature = 2 * n_tags) and rows
+    (the layer's slice of pdf).
+    """
+    from itertools import chain
+
+    sort_cache: dict = {}  # key-tuple -> sorted keys (few distinct key sets)
+    cache_get = sort_cache.get
+    for name, g in pdf.groupby("layer", sort=False):
+        tags_list = [t if isinstance(t, dict) else {} for t in g["tags"]]
+        skeys = []
+        append = skeys.append
+        for t in tags_list:
+            kt = tuple(t)
+            s = cache_get(kt)
+            if s is None:
+                s = sorted(kt)
+                sort_cache[kt] = s
+            append(s)
+        counts = np.fromiter(map(len, skeys), dtype=np.int64, count=len(skeys))
+        keys_flat = list(chain.from_iterable(skeys))
+        if keys_flat:
+            vals_flat = [t[k] for t, ks in zip(tags_list, skeys) for k in ks]
+            kcodes, kuniq = pd.factorize(pd.Series(keys_flat, dtype=object))
+            # full MVT-Value equality = (type, value) — bool/int/float/str
+            # with equal reprs must not collapse into one dictionary slot.
+            # Single-typed columns (overwhelmingly common) skip the tuple pass.
+            vtypes = set(map(type, vals_flat))
+            if len(vtypes) == 1:
+                vcodes, vuniq = pd.factorize(pd.Series(vals_flat, dtype=object))
+                values = list(vuniq)
+            else:
+                vcodes, vuniq_t = pd.factorize(
+                    pd.Series([(type(v).__name__, v) for v in vals_flat], dtype=object))
+                values = [t[1] for t in vuniq_t]
+            keys = list(kuniq)
+            pairs = np.empty(2 * len(kcodes), dtype=np.int64)
+            pairs[0::2] = kcodes
+            pairs[1::2] = vcodes
+        else:
+            keys, values = [], []
+            pairs = _EMPTY_CODES
+        yield name, {"keys": keys, "values": values, "pair_codes": pairs,
+                     "pair_counts": counts * 2, "rows": g}
+
+
+# -- vectorized protobuf assembly ---------------------------------------------
+
+def _varint_stream(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128 varints of an int64 array (values < 2^35): returns
+    (flat uint8 byte stream in input order, per-value byte lengths)."""
+    if not len(vals):
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
+    # int64 throughout: numpy's uint64 kernels fall back to slow paths
+    # (measured 4-30x slower for exactly this function)
+    v = vals.astype(np.int64, copy=False)
+    lens = np.ones(len(v), np.int64)
+    for t in (7, 14, 21, 28):
+        lens += v >= (1 << t)
+    M = np.empty((len(v), 5), np.uint8)
+    for k in range(5):
+        np.bitwise_and(v >> (7 * k), 0x7F, out=M[:, k], casting="unsafe")
+    pos = np.arange(5)
+    np.bitwise_or(M, (pos[None, :] < (lens - 1)[:, None]).view(np.uint8) * 0x80, out=M)
+    return M[pos[None, :] < lens[:, None]], lens
+
+
+def _ramp(lens: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... as one array."""
+    ends = np.cumsum(lens)
+    return np.arange(int(ends[-1]) if len(ends) else 0) - np.repeat(ends - lens, lens)
+
+
+def _scatter(out: np.ndarray, starts: np.ndarray, flat: np.ndarray,
+             lens: np.ndarray) -> None:
+    if len(flat):
+        out[np.repeat(starts, lens) + _ramp(lens)] = flat
+
+
+def _encode_point_features(ids, pair_codes: np.ndarray, pair_counts: np.ndarray,
+                           xs: np.ndarray, ys: np.ndarray) -> bytes:
+    """Concatenated length-delimited Feature messages (point geometry),
+    assembled entirely in numpy — byte-identical to per-feature
+    mvt.encode_feature calls (pytest-pinned), ~20x faster at 1M features."""
+    n = len(xs)
+    if n == 0:
+        return b""
+    # tag payload bytes (flat across features)
+    tflat, tlens = _varint_stream(pair_codes)
+    bounds = np.zeros(n + 1, np.int64)
+    np.cumsum(pair_counts, out=bounds[1:])
+    csum = np.zeros(len(tlens) + 1, np.int64)
+    np.cumsum(tlens, out=csum[1:])
+    tag_paylen = csum[bounds[1:]] - csum[bounds[:-1]]
+    has_tags = tag_paylen > 0
+    # geometry payload: [MoveTo|1, zz(x), zz(y)] per feature
+    G = np.empty((n, 3), np.int64)
+    G[:, 0] = mvt.CMD_MOVE | (1 << 3)
+    G[:, 1] = (xs << 1) ^ (xs >> 63)
+    G[:, 2] = (ys << 1) ^ (ys >> 63)
+    gflat, glens = _varint_stream(G.reshape(-1))
+    geom_paylen = glens.reshape(n, 3).sum(axis=1)
+    # field lengths
+    if ids is not None:
+        idflat, idlens = _varint_stream(ids)
+        a_len = 1 + idlens
+    else:
+        idflat = idlens = None
+        a_len = np.zeros(n, np.int64)
+    thdr_flat, thdr_lens = _varint_stream(tag_paylen[has_tags])
+    b_len = np.zeros(n, np.int64)
+    b_len[has_tags] = 1 + thdr_lens + tag_paylen[has_tags]
+    ghdr_flat, ghdr_lens = _varint_stream(geom_paylen)
+    e_len = 1 + ghdr_lens + geom_paylen
+    body_len = a_len + b_len + 2 + e_len
+    whdr_flat, whdr_lens = _varint_stream(body_len)
+    total_len = 1 + whdr_lens + body_len
+    starts = np.zeros(n, np.int64)
+    np.cumsum(total_len[:-1], out=starts[1:])
+    out = np.zeros(int(total_len.sum()), np.uint8)
+    cur = starts.copy()
+    out[cur] = 0x12  # Layer.features tag
+    cur += 1
+    _scatter(out, cur, whdr_flat, whdr_lens)
+    cur += whdr_lens
+    if ids is not None:
+        out[cur] = 0x08
+        cur += 1
+        _scatter(out, cur, idflat, idlens)
+        cur += idlens
+    if has_tags.any():
+        cm = cur[has_tags]
+        out[cm] = 0x12
+        cm += 1
+        _scatter(out, cm, thdr_flat, thdr_lens)
+        cur[has_tags] = cm + thdr_lens
+        _scatter(out, cur, tflat, tag_paylen)
+        cur += tag_paylen
+    out[cur] = 0x18
+    out[cur + 1] = 0x01
+    cur += 2
+    out[cur] = 0x22
+    cur += 1
+    _scatter(out, cur, ghdr_flat, ghdr_lens)
+    cur += ghdr_lens
+    _scatter(out, cur, gflat, geom_paylen)
+    return out.tobytes()
 
 
 def _encode_tile_blob(pdf: pd.DataFrame) -> bytes:
-    """Encode one tile's features: per-layer first-seen-order dictionaries.
+    """Encode one tile's features as a gzip'd MVT protobuf blob.
 
     Layers appear in first-seen order; within a layer, features keep input
     order (callers pre-sort by image_id for determinism); tag keys sorted.
     """
-    layers: dict[str, dict] = {}
-    for row in pdf.itertuples(index=False):
-        layer = layers.setdefault(row.layer, {"keys": [], "values": [], "kidx": {}, "vidx": {}, "features": []})
-        tag_pairs = []
-        tags = row.tags if isinstance(row.tags, dict) else {}
-        for k in sorted(tags):  # deterministic (reference: HashMap order)
-            v = tags[k]
-            if k not in layer["kidx"]:
-                layer["kidx"][k] = len(layer["keys"])
-                layer["keys"].append(k)
-            vv = ("s", v)
-            if vv not in layer["vidx"]:
-                layer["vidx"][vv] = len(layer["values"])
-                layer["values"].append(v)
-            tag_pairs += [layer["kidx"][k], layer["vidx"][vv]]
-        layer["features"].append({
-            "id": row.image_id,
-            "tags": tag_pairs,
-            "geom": [round(float(row.px), 3), round(float(row.py), 3)],
-            "type": "Point",
-        })
-    doc = {
-        "layers": [
-            {"name": name, "extent": 4096, "keys": L["keys"], "values": L["values"],
-             "features": L["features"]}
-            for name, L in layers.items()
-        ]
-    }
-    return gzip.compress(json.dumps(doc, separators=(",", ":")).encode(), 6)
+    layer_bytes = []
+    for name, L in _layer_dictionaries(pdf):
+        g = L["rows"]
+        xs = np.rint(g["px"].to_numpy(dtype=np.float64)).astype(np.int64)
+        ys = np.rint(g["py"].to_numpy(dtype=np.float64)).astype(np.int64)
+        # MVT ids are uint64: included only when every image_id parses to a
+        # non-negative int < 2^35 (the vectorized varint bound), else omitted
+        ids = pd.to_numeric(g["image_id"], errors="coerce")
+        idv = ids.to_numpy(dtype=np.float64)
+        if np.isnan(idv).any() or (idv < 0).any() or (idv >= float(1 << 35)).any():
+            idarr = None
+        else:
+            idarr = idv.astype(np.int64)
+        frames = _encode_point_features(idarr, L["pair_codes"], L["pair_counts"], xs, ys)
+        layer_bytes.append(
+            mvt.encode_layer(name, L["keys"], L["values"], [], preframed=frames))
+    return gzip.compress(mvt.encode_tile(layer_bytes), 6)
 
 
 def encode_tiles(df: DataFrame) -> DataFrame:
-    """Group rows by tile and encode each to a blob (applyInPandas)."""
+    """Group rows by tile and encode each to an MVT blob (applyInPandas)."""
 
-    def _encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _encode(key, pdf):
         z, x, y, tile_id = key
         pdf = pdf.sort_values("image_id", kind="mergesort")
         blob = _encode_tile_blob(pdf)
@@ -84,9 +237,33 @@ def encode_tiles(df: DataFrame) -> DataFrame:
     return df.select(*cols).groupBy("z", "x", "y", "tile_id").applyInPandas(_encode, TILE_SCHEMA)
 
 
+def tile_dictionary_stats(df: DataFrame) -> DataFrame:
+    """One row per (tile, layer): the encoder's dictionaries as flat columns
+    (keys_joined / values_joined in first-seen order) — shares
+    _layer_dictionaries with the blob encoder, so the driver's SQL oracle
+    value-checks the exact dictionary logic the archive sink uses."""
+
+    def _stats(key, pdf):
+        z, x, y, tile_id = key
+        pdf = pdf.sort_values("image_id", kind="mergesort")
+        rows = []
+        for name, L in _layer_dictionaries(pdf):
+            rows.append({
+                "z": z, "x": x, "y": y, "tile_id": tile_id, "layer": name,
+                "n_features": int(len(L["rows"])),
+                "n_keys": len(L["keys"]), "n_values": len(L["values"]),
+                "keys_joined": ",".join(L["keys"]),
+                "values_joined": ",".join(str(v) for v in L["values"]),
+            })
+        return pd.DataFrame(rows)
+
+    cols = ["z", "x", "y", "tile_id", "image_id", "layer", "tags", "px", "py"]
+    return df.select(*cols).groupBy("z", "x", "y", "tile_id").applyInPandas(_stats, DICT_SCHEMA)
+
+
 def decode_tile_blob(data: bytes) -> dict:
     """Inverse of _encode_tile_blob (tests + downstream readers)."""
-    return json.loads(gzip.decompress(bytes(data)).decode())
+    return mvt.decode_tile(gzip.decompress(bytes(data)))
 
 
 def write_archive(tiles: DataFrame, path: str, n_partitions: int | None = None) -> None:

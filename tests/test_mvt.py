@@ -1,0 +1,113 @@
+"""MVT wire format: golden bytes, round-trips, value types, geometry streams."""
+
+from __future__ import annotations
+
+from mvt_wrangler_spark.functions import mvt
+
+
+def test_varint_zigzag_roundtrip():
+    for n in [0, 1, 127, 128, 300, 2 ** 32, 2 ** 63 - 1]:
+        v, pos = mvt.read_uvarint(mvt.uvarint(n), 0)
+        assert v == n and pos == len(mvt.uvarint(n))
+    for n in [0, -1, 1, -64, 63, -(2 ** 31), 2 ** 31, -(2 ** 62)]:
+        assert mvt.unzigzag(mvt.zigzag(n)) == n
+
+
+def test_golden_bytes_single_point_layer():
+    """Pin the exact wire bytes of a minimal one-feature tile (protobuf wire
+    spec + vector-tile-spec v2.1 field numbers — any encoder change that
+    breaks compatibility with real MVT readers fails here)."""
+    feat = mvt.encode_feature(7, [0, 0], mvt.point_geometry(5, 9), 1)
+    layer = mvt.encode_layer("pois", ["kind"], ["park"], [feat])
+    tile = mvt.encode_tile([layer])
+    want = (
+        b"\x1a\x28" +                   # Tile.layers (field 3, LD), len 40
+        b"\x78\x02" +                   # Layer.version (field 15) = 2
+        b"\x0a\x04pois" +               # Layer.name
+        b"\x12\x0d" +                   # Layer.features, len 13
+        b"\x08\x07" +                   # Feature.id = 7
+        b"\x12\x02\x00\x00" +           # Feature.tags packed [0, 0]
+        b"\x18\x01" +                   # Feature.type = POINT
+        b"\x22\x03\x09\x0a\x12" +       # geometry [MoveTo|1<<3=9, zz(5)=10, zz(9)=18]
+        b"\x1a\x04kind" +               # Layer.keys
+        b"\x22\x06\x0a\x04park" +       # Layer.values (Value{string_value:"park"})
+        b"\x28\x80\x20"                 # Layer.extent = 4096
+    )
+    assert tile == want
+    doc = mvt.decode_tile(tile)
+    ly = doc["layers"][0]
+    assert ly["name"] == "pois" and ly["extent"] == 4096
+    assert ly["keys"] == ["kind"] and ly["values"] == ["park"]
+    f = ly["features"][0]
+    assert f["id"] == 7 and f["tags"] == [0, 0] and f["type"] == "Point"
+    assert f["geom"] == [5, 9]
+
+
+def test_value_type_roundtrip():
+    for v in ["s", "", "日本語", True, False, 0, -5, 12345678901234, 2.5, -0.125]:
+        got = mvt.decode_value(mvt.encode_value(v))
+        assert got == v and type(got) is type(v)
+
+
+def test_geometry_streams_roundtrip():
+    t, pts = mvt.decode_geometry(mvt.point_geometry(-3, 4096))
+    assert t == "Point" and pts == [(-3, 4096)]
+    xs, ys = [0, 10, 10, 0], [0, 0, 12, 12]
+    t, pts = mvt.decode_geometry(mvt.linestring_geometry(xs, ys))
+    assert t == "LineString" and pts == list(zip(xs, ys))
+    t, pts = mvt.decode_geometry(mvt.polygon_geometry(xs, ys))
+    assert t == "Polygon" and pts == list(zip(xs, ys))
+
+
+def test_multilayer_tile_roundtrip():
+    f1 = mvt.encode_feature(None, [], mvt.point_geometry(1, 2), 1)
+    f2 = mvt.encode_feature(9, [0, 1, 1, 0],
+                            mvt.linestring_geometry([0, 5], [0, 5]), 2)
+    l1 = mvt.encode_layer("a", [], [], [f1])
+    l2 = mvt.encode_layer("b", ["k1", "k2"], [1, True], [f2], extent=512)
+    doc = mvt.decode_tile(mvt.encode_tile([l1, l2]))
+    assert [ly["name"] for ly in doc["layers"]] == ["a", "b"]
+    assert doc["layers"][0]["features"][0]["id"] is None
+    assert doc["layers"][1]["extent"] == 512
+    assert doc["layers"][1]["values"] == [1, True]
+    assert doc["layers"][1]["features"][0]["type"] == "LineString"
+
+
+def test_vectorized_feature_stream_matches_scalar():
+    """The numpy feature-stream assembler must be byte-identical to framing
+    per-feature mvt.encode_feature outputs."""
+    import numpy as np
+
+    from mvt_wrangler_spark.operators.tile_encode import _encode_point_features
+
+    rng = np.random.default_rng(3)
+    n = 500
+    ids = rng.integers(0, 1 << 34, n)
+    xs = rng.integers(-100, 4200, n)
+    ys = rng.integers(-100, 4200, n)
+    ntags = rng.integers(0, 4, n)
+    pair_counts = ntags * 2
+    pairs = rng.integers(0, 300, int(pair_counts.sum()))
+
+    got = _encode_point_features(ids, pairs, pair_counts, xs, ys)
+    want = bytearray()
+    off = 0
+    for i in range(n):
+        tc = pairs[off:off + pair_counts[i]].tolist()
+        off += pair_counts[i]
+        f = mvt.encode_feature(int(ids[i]), tc,
+                               mvt.point_geometry(int(xs[i]), int(ys[i])), 1)
+        want += mvt._ld(2, f)
+    assert got == bytes(want)
+
+    # no-ids variant
+    got2 = _encode_point_features(None, pairs, pair_counts, xs, ys)
+    want2 = bytearray()
+    off = 0
+    for i in range(n):
+        tc = pairs[off:off + pair_counts[i]].tolist()
+        off += pair_counts[i]
+        f = mvt.encode_feature(None, tc,
+                               mvt.point_geometry(int(xs[i]), int(ys[i])), 1)
+        want2 += mvt._ld(2, f)
+    assert got2 == bytes(want2)
