@@ -34,6 +34,16 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.assign_tiles(pts, z=Z, with_local=False).select("id", "z", "x", "y", "tile_id")
 
 
+def q_tile_assign_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass multi-zoom assignment (z 4..10): one Hilbert pass at max
+    zoom, coarser zooms derived by shifts (hierarchical curve property)."""
+    from mvt_wrangler_spark.functions import tiling
+
+    pts = _points(spark, sf_dir)
+    return tiling.assign_tiles_multi(pts, z_min=4, z_max=Z).select(
+        "id", "z", "x", "y", "tile_id")
+
+
 def q_tile_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvt_wrangler_spark.functions import tiling
 
@@ -402,6 +412,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
+        "tile_assign_multi": q_tile_assign_multi,
         "tile_local": q_tile_local,
         "pyramid_rollup": q_pyramid_rollup,
         "tile_stats_salted": q_tile_stats_salted,
@@ -456,6 +467,15 @@ def oracle_sql() -> dict[str, str]:
     tile_assign = (
         "WITH " + ",\n".join([pts, xy] + ctes)
         + f" SELECT id, z, x, y, {tid} AS tile_id FROM {last}"
+    )
+
+    # multi-zoom: same one-Hilbert-pass arithmetic as assign_tiles_multi
+    tile_assign_multi = (
+        "WITH " + ",\n".join([pts, xy] + ctes)
+        + f""" SELECT id, CAST(zz.z AS INT) AS z, x >> ({Z} - zz.z) AS x,
+       y >> ({Z} - zz.z) AS y,
+       ((CAST(1 AS BIGINT) << (2 * zz.z)) - 1) // 3 + (d >> (2 * ({Z} - zz.z))) AS tile_id
+FROM {last}, generate_series(4, {Z}) zz(z)"""
     )
 
     tile_local = f"""
@@ -698,6 +718,7 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
 
     return {
         "tile_assign": tile_assign,
+        "tile_assign_multi": tile_assign_multi,
         "cell_encode": cell_encode,
         "tile_encode": tile_encode,
         "minhash_lsh": minhash_lsh,

@@ -97,3 +97,46 @@ def test_hilbert_sql_matches_spark(spark):
     sql = "WITH " + ",\n".join(ctes) + f" SELECT id, {expr} AS tid FROM {last}"
     for rid, tid in con.execute(sql).fetchall():
         assert got[rid] == tid
+
+
+@pytest.mark.spark
+def test_assign_tiles_multi_matches_per_zoom(spark):
+    """One-pass multi-zoom == independent per-zoom assignment, every zoom."""
+    from mvt_wrangler_spark.sources import images as I
+
+    df = I.synthetic_images(spark, 300, with_pixels=False, partitions=2)
+    multi = {(r.image_id, r.z): (r.x, r.y, r.tile_id)
+             for r in tiling.assign_tiles_multi(df, z_min=0, z_max=9)
+             .select("image_id", "z", "x", "y", "tile_id").collect()}
+    assert len(multi) == 300 * 10
+    for z in range(0, 10):
+        per = {(r.image_id, z): (r.x, r.y, r.tile_id)
+               for r in tiling.assign_tiles(df, z=z, with_local=False)
+               .select("image_id", "x", "y", "tile_id").collect()}
+        for k, v in per.items():
+            assert multi[k] == v, (k, v, multi[k])
+
+
+def test_hilbert_hierarchy_property():
+    """Parent position = d >> 2 (the property assign_tiles_multi relies on)."""
+    import random
+
+    def xy2d(z, x, y):
+        d, s = 0, (1 << (z - 1)) if z else 0
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s >>= 1
+        return d
+
+    rng = random.Random(11)
+    for _ in range(500):
+        z = rng.randint(1, 16)
+        x, y = rng.randrange(1 << z), rng.randrange(1 << z)
+        for q in range(z):
+            assert xy2d(z, x, y) >> (2 * (z - q)) == xy2d(q, x >> (z - q), y >> (z - q))
