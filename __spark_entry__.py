@@ -87,6 +87,50 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return J.broadcast_pip_join(spark, pts.select("id", "lon", "lat"), polys).select("id", "admin_id")
 
 
+def q_intersects_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact geometry x geometry intersects join (J2 generalized): mixed
+    Point/LineString/Polygon features vs broadcast admin polygons
+    (transform.rs:130-143 semantics). SQL twin states the same sign-product
+    crossing formula term for term."""
+    import numpy as np
+
+    from mvt_wrangler_spark.functions import geometry as G
+    from mvt_wrangler_spark.operators import joins as J
+    from mvt_wrangler_spark.sources.points import PIP_POLYGONS, synth_geoms
+
+    feats = synth_geoms(spark, sf_dir)
+    polys = [(pid, G.Polygon(np.array(v))) for pid, v in PIP_POLYGONS]
+    return J.broadcast_intersects_join(spark, feats, polys).select(
+        "id", "geom_type", "admin_id")
+
+
+def q_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 live: a ["type"]-based DSL rule over non-point features — drop
+    LineStrings whose geometry intersects the filter polygon."""
+    from mvt_wrangler_spark.operators import filters as FL
+    from mvt_wrangler_spark.sources.points import PIP_POLYGONS, synth_geoms
+
+    ring = [list(v) for v in PIP_POLYGONS[0][1]]
+    ring.append(ring[0])
+    prog = FL.FilterProgram.from_geojson({
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature",
+            "geometry": {"type": "Polygon", "coordinates": [ring]},
+            "properties": {"layers": {"*": {"feature": ["==", ["type"], "LineString"]}}},
+        }],
+    })
+    feats = synth_geoms(spark, sf_dir).withColumn("layer", F.lit("feats")).withColumn(
+        "tags", F.map_from_arrays(F.array().cast("array<string>"),
+                                  F.array().cast("array<string>")))
+    masked = feats.withColumn(
+        "filter_mask",
+        FL.geom_filter_mask_column(spark, prog, F.col("geom_type"),
+                                   F.col("xs"), F.col("ys")))
+    surv = FL.apply_feature_filter(masked, prog, geom_type_col="geom_type")
+    return surv.select("id", "geom_type")
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvt_wrangler_spark.operators import joins as J
 
@@ -417,6 +461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_rollup": q_pyramid_rollup,
         "tile_stats_salted": q_tile_stats_salted,
         "pip_join": q_pip_join,
+        "intersects_join": q_intersects_join,
+        "type_filter": q_type_filter,
         "knn_join": q_knn_join,
         "phash_dedup": q_phash_dedup,
         "pipeline_e2e": q_pipeline_e2e,
@@ -505,6 +551,20 @@ FROM __xy
         for pid, v in PIP_POLYGONS
     )
     pip_join = f"WITH {pts} {pip_arms}"
+
+    from mvt_wrangler_spark.sources.points import GEOMS_SQL, geom_intersects_sql
+
+    ij_arms = "\nUNION ALL\n".join(
+        f"SELECT id, geom_type, '{pid}' AS admin_id FROM __g WHERE {geom_intersects_sql(pid, v)}"
+        for pid, v in PIP_POLYGONS
+    )
+    intersects_join = f"WITH __g AS ({GEOMS_SQL})\n{ij_arms}"
+
+    adm_a = PIP_POLYGONS[0]
+    type_filter = (
+        f"WITH __g AS ({GEOMS_SQL}) SELECT id, geom_type FROM __g "
+        f"WHERE NOT (geom_type = 'LineString' AND {geom_intersects_sql(*adm_a)})"
+    )
 
     knn_qs = "(VALUES ('q0', 139.76, 35.68), ('q1', -74.0, 40.71), ('q2', 10.5, -20.25)) AS q(query_id, qlon, qlat)"
     knn = f"""
@@ -734,6 +794,8 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "pyramid_rollup": pyramid,
         "tile_stats_salted": tile_stats,
         "pip_join": pip_join,
+        "intersects_join": intersects_join,
+        "type_filter": type_filter,
         "knn_join": knn,
         "phash_dedup": dedup,
         "pipeline_e2e": pipeline,

@@ -121,6 +121,92 @@ def rect_intersects_polygon(minx: float, miny: float, maxx: float, maxy: float, 
     return False
 
 
+def segments_cross(ax, ay, bx, by, cx, cy, dx, dy):
+    """Inclusive segment-intersection predicate, vectorized over (A,B) arrays
+    vs one (C,D) edge (scalars or arrays): orientation sign products
+    d1*d2 <= 0 AND d3*d4 <= 0. This EXACT formula is what the SQL oracle
+    states (sources/points.py seg_cross_sql), so both engines flip together.
+    Collinear-disjoint segments over-approximate to True — a documented
+    closed-predicate looseness that cannot occur for non-degenerate floats.
+    """
+    d1 = (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx)
+    d2 = (dx - cx) * (by - cy) - (dy - cy) * (bx - cx)
+    d3 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    d4 = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax)
+    return (d1 * d2 <= 0) & (d3 * d4 <= 0)
+
+
+def geoms_intersect_polygon(gtypes: np.ndarray, xs_list, ys_list,
+                            poly: Polygon) -> np.ndarray:
+    """Exact geometry x polygon `intersects` for a batch of variable-length
+    features (Point / LineString / Polygon vertex arrays) — the general form
+    of the reference's feature_geom.intersects(filter_geom)
+    (/root/reference/src/transform.rs:130-143).
+
+    True iff: any feature vertex inside the filter polygon, OR any feature
+    segment crosses any filter ring edge, OR (polygon features) any filter
+    exterior vertex inside the feature ring (feature swallows filter).
+    Fully vectorized: vertices flattened once, per-row aggregation via
+    reduceat/bincount; the loops run over filter ring edges (a handful),
+    never over rows.
+    """
+    n = len(gtypes)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    lens = np.fromiter(map(len, xs_list), np.int64, n)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    fx = np.concatenate([np.asarray(v, np.float64) for v in xs_list])
+    fy = np.concatenate([np.asarray(v, np.float64) for v in ys_list])
+    hit = np.zeros(n, dtype=bool)
+
+    # (1) any feature vertex inside the filter polygon
+    vin = points_in_polygon(fx, fy, poly)
+    hit |= np.add.reduceat(vin, offs[:-1]) > 0
+
+    # (2) feature segments: consecutive vertices + closing edge for polygons
+    is_poly = np.asarray([t == "Polygon" for t in gtypes])
+    seg_mask = np.ones(len(fx), dtype=bool)
+    seg_mask[offs[1:] - 1] = False  # last vertex of each row starts no segment
+    idx = np.nonzero(seg_mask)[0]
+    close_rows = np.nonzero(is_poly & (lens >= 3))[0]
+    ax = np.concatenate([fx[idx], fx[offs[1:][close_rows] - 1]])
+    ay = np.concatenate([fy[idx], fy[offs[1:][close_rows] - 1]])
+    bx = np.concatenate([fx[idx + 1], fx[offs[:-1][close_rows]]])
+    by = np.concatenate([fy[idx + 1], fy[offs[:-1][close_rows]]])
+    seg_row = np.concatenate([
+        np.repeat(np.arange(n), np.maximum(lens - 1, 0)), close_rows])
+
+    if len(ax):
+        cross = np.zeros(len(ax), dtype=bool)
+        for ring in [poly.exterior] + poly.holes:
+            for i in range(len(ring) - 1):
+                cross |= segments_cross(ax, ay, bx, by,
+                                        ring[i, 0], ring[i, 1],
+                                        ring[i + 1, 0], ring[i + 1, 1])
+        hit |= np.bincount(seg_row, weights=cross, minlength=n) > 0
+
+        # (3) polygon features that fully contain the filter polygon: even-odd
+        # test of each filter exterior vertex against the feature's ring
+        # (consecutive + closing segments of that row)
+        if is_poly.any():
+            poly_seg = is_poly[seg_row]
+            pax, pay = ax[poly_seg], ay[poly_seg]
+            pbx, pby = bx[poly_seg], by[poly_seg]
+            prow = seg_row[poly_seg]
+            inside_any = np.zeros(n, dtype=bool)
+            for px_, py_ in poly.exterior[:-1]:
+                cond = (pay > py_) != (pby > py_)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = pax + (py_ - pay) * (pbx - pax) / np.where(
+                        pby != pay, pby - pay, 1.0)
+                crossings = np.bincount(prow, weights=cond & (px_ < xint),
+                                        minlength=n)
+                inside_any |= (crossings.astype(np.int64) % 2) == 1
+            hit |= inside_any & is_poly
+    return hit
+
+
 class GridIndex:
     """STRtree-lite: uniform grid over bboxes (the R-tree prefilter analog).
 

@@ -122,6 +122,36 @@ def filter_mask_column(spark: SparkSession, program: FilterProgram,
     return _mask(lon, lat)
 
 
+def geom_filter_mask_column(spark: SparkSession, program: FilterProgram,
+                            gtype: Column, xs: Column, ys: Column) -> Column:
+    """Bitmask like filter_mask_column but for GENERAL geometries: bit i set
+    iff the feature's geometry (Point/LineString/Polygon vertex arrays)
+    exactly intersects filter feature i's mask (transform.rs:130-143) —
+    makes ["type"] (P7) meaningful: non-point features flow through the
+    same program dispatch as points."""
+    n = len(program.features)
+    if n == 0:
+        return F.lit(0).cast("long")
+    if n > 63:
+        raise ValueError("filter programs with >63 features are not supported")
+    payload = [(i, p.exterior, [h for h in p.holes])
+               for i, feat in enumerate(program.features) for p in feat.polygons]
+    bc = spark.sparkContext.broadcast(payload)
+
+    @pandas_udf("long")
+    def _mask(t: pd.Series, xs_s: pd.Series, ys_s: pd.Series) -> pd.Series:
+        gtypes = t.to_numpy(dtype=object)
+        xsl = xs_s.to_numpy(dtype=object)
+        ysl = ys_s.to_numpy(dtype=object)
+        out = np.zeros(len(gtypes), dtype=np.int64)
+        for i, ext, holes in bc.value:
+            hitv = G.geoms_intersect_polygon(gtypes, xsl, ysl, G.Polygon(ext, holes))
+            out |= hitv.astype(np.int64) << i
+        return pd.Series(out)
+
+    return _mask(gtype, xs, ys)
+
+
 def filter_mask_native(program: FilterProgram, lon: Column, lat: Column,
                        materialize: bool = True) -> Column:
     """Same bitmask as filter_mask_column, but pure Catalyst column math.

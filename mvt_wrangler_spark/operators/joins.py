@@ -78,6 +78,72 @@ def broadcast_pip_join(spark: SparkSession, points: DataFrame,
 
 
 # ---------------------------------------------------------------------------
+# Broadcast exact intersects join (general geometries: point/line/polygon)
+# ---------------------------------------------------------------------------
+
+def intersects_match_ids_column(spark: SparkSession,
+                                polygons: list[tuple[str, G.Polygon]],
+                                gtype: Column, xs: Column, ys: Column) -> Column:
+    """array<string> of polygon ids whose geometry intersects the feature.
+
+    General form of the reference's exact-intersects refine
+    (transform.rs:130-143) beyond points: features are (geom_type,
+    xs array, ys array) rows. Per polygon, a vectorized row-bbox pre-mask
+    rejects far rows (so 10^4 broadcast polygons cost one cheap compare
+    each per batch, not an exact kernel each), then the exact kernel runs
+    on the surviving subset only.
+    """
+    payload = [(pid, p.exterior, list(p.holes), p.bbox) for pid, p in polygons]
+    bc = spark.sparkContext.broadcast(payload)
+
+    @pandas_udf("array<string>")
+    def _match(t: pd.Series, xs_s: pd.Series, ys_s: pd.Series) -> pd.Series:
+        gtypes = t.to_numpy(dtype=object)
+        xsl = xs_s.to_numpy(dtype=object)
+        ysl = ys_s.to_numpy(dtype=object)
+        n = len(gtypes)
+        hits: list[list[str]] = [[] for _ in range(n)]
+        if n:
+            lens = np.fromiter(map(len, xsl), np.int64, n)
+            offs = np.zeros(n + 1, np.int64)
+            np.cumsum(lens, out=offs[1:])
+            fx = np.concatenate([np.asarray(v, np.float64) for v in xsl])
+            fy = np.concatenate([np.asarray(v, np.float64) for v in ysl])
+            rminx = np.minimum.reduceat(fx, offs[:-1])
+            rmaxx = np.maximum.reduceat(fx, offs[:-1])
+            rminy = np.minimum.reduceat(fy, offs[:-1])
+            rmaxy = np.maximum.reduceat(fy, offs[:-1])
+            for pid, ext, holes, (bx0, by0, bx1, by1) in bc.value:
+                m = (rminx <= bx1) & (bx0 <= rmaxx) & (rminy <= by1) & (by0 <= rmaxy)
+                if not m.any():
+                    continue
+                sub = np.nonzero(m)[0]
+                h = G.geoms_intersect_polygon(
+                    gtypes[sub], xsl[sub], ysl[sub], G.Polygon(ext, holes))
+                for j in sub[np.nonzero(h)[0]]:
+                    hits[j].append(pid)
+        return pd.Series(hits)
+
+    return _match(gtype, xs, ys)
+
+
+def broadcast_intersects_join(spark: SparkSession, feats: DataFrame,
+                              polygons: list[tuple[str, G.Polygon]],
+                              type_col: str = "geom_type", xs_col: str = "xs",
+                              ys_col: str = "ys", out_col: str = "admin_id",
+                              how: str = "inner") -> DataFrame:
+    """One output row per (feature, intersecting polygon) — the J2 exact
+    geometry x geometry join generalized to line/polygon features."""
+    matched = feats.withColumn(
+        "__admins",
+        intersects_match_ids_column(spark, polygons, F.col(type_col),
+                                    F.col(xs_col), F.col(ys_col)),
+    )
+    exploder = F.explode if how == "inner" else F.explode_outer
+    return matched.withColumn(out_col, exploder("__admins")).drop("__admins")
+
+
+# ---------------------------------------------------------------------------
 # Salted kNN join (nearest neighbors among `data` for each row of `queries`)
 # ---------------------------------------------------------------------------
 
