@@ -174,8 +174,11 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filter_mask", FL.filter_mask_native(program, F.col("lon"), F.col("lat")))
     surv = FL.apply_feature_filter(masked, program)
     surv = tiling.assign_tiles(surv, z=Z, with_local=False)
-    return D.phash_dedup(surv, keys=("z", "x", "y", "phash"), order_col="id").select(
-        "id", "x", "y", "phash")
+    # agg-based dedup: downstream needs only the keeper id per (tile, phash),
+    # so shuffle 4 key columns + min(id) instead of full rows through a
+    # window (min id == the row_number()=1 keeper; identical result set)
+    agg = D.phash_dedup_agg(surv, keys=("z", "x", "y", "phash"), order_col="id")
+    return agg.select(F.col("keeper_id").alias("id"), "x", "y", "phash")
 
 
 def q_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,30 +246,16 @@ def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    return docs.select(
-        "doc_id",
-        F.length("text").alias("n_chars_raw"),
-        F.size(toks).alias("n_tokens"),
-        F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).alias("n_punct"),
-    )
+    from mvt_wrangler_spark.operators import text as T
+
+    return T.text_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language heuristic (deterministic formula, both engines)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    from mvt_wrangler_spark.operators import text as T
 
-    def hits(word):
-        return (F.length(padded) - F.length(F.replace(padded, F.lit(f" {word} "), F.lit("")))) \
-            / (len(word) + 2)
-
-    en = hits("the") + hits("a") + hits("and")
-    return docs.select(
-        "doc_id",
-        F.when(en >= 3, "en").when(en >= 1, "en-ish").otherwise("unk").alias("lang_pred"),
-    )
+    return T.lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,6 +279,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("qid", "rank", F.col("vec_id").alias("neighbor_id"), "score")
     )
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN scale path: sign-LSH coarse cells + hamming-1 probes +
+    exact integer rank within candidates (no cartesian stage)."""
+    from mvt_wrangler_spark.operators.joins import ann_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk_lsh(emb, k=5)
 
 
 def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,18 +324,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality heuristics: token stats + stopword/punct ratios."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    nospace = F.length(F.regexp_replace("text", r"\s", ""))
-    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    stop_hits = (F.length(padded) - F.length(F.replace(padded, F.lit(" the "), F.lit("")))) / 5 \
-        + (F.length(padded) - F.length(F.replace(padded, F.lit(" and "), F.lit("")))) / 5
-    return docs.select(
-        "doc_id",
-        toks.alias("n_tokens"),
-        F.round(nospace.cast("double") / toks, 6).alias("mean_tok_len"),
-        F.round(stop_hits.cast("double") / toks, 6).alias("stop_ratio"),
-    )
+    from mvt_wrangler_spark.operators import text as T
+
+    return T.quality_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def q_distinct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,18 +423,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling polynomial document fingerprint, SQL-checkable: the hash is a
-    base-K polynomial over character codes mod 2^31-1 computed with
-    aggregate() on Spark and list_reduce-equivalent arithmetic on DuckDB.
-    Implemented as position-weighted sum so both engines fold identically."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # fingerprint = sum over i of ascii(text[i]) * (i mod 64 + 1) mod 2^31-1
-    idx = F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)))
-    term = F.transform(idx, lambda i: F.ascii(F.col("text").substr(i, F.lit(1)))
-                       * (F.pmod(i - 1, F.lit(64)) + 1))
-    fp = F.pmod(F.aggregate(term, F.lit(0).cast("long"), lambda a, v: a + v),
-                F.lit(2147483647))
-    return docs.select("doc_id", fp.alias("fingerprint"))
+    """Rolling position-weighted fingerprint mod 2^31-1 (SQL-foldable)."""
+    from mvt_wrangler_spark.operators import text as T
+
+    return T.doc_fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -473,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
         "minhash_lsh": q_minhash_lsh,
         "cell_encode": q_cell_encode,
         "sessionize": q_sessionize,
@@ -771,6 +753,10 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         + f"\nSELECT id, {s2_expr} AS s2_cell, {h3_expr} AS h3_cell FROM {h3_last}"
     )
 
+    from mvt_wrangler_spark.operators.joins import ann_topk_lsh_sql
+
+    ann_lsh = ann_topk_lsh_sql(k=5)
+
     minhash_lsh = minhash_lsh_sql(num_hashes=16, bands=4, shingle=5, max_bucket=1000)
     simhash = ("SELECT doc_id, " + simhash_sql_expr("text", shingle=4)
                + " AS simhash FROM documents")
@@ -806,4 +792,5 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "text_stats": text_stats,
         "lang_id": lang_id,
         "ann_topk": ann,
+        "ann_topk_lsh": ann_lsh,
     }

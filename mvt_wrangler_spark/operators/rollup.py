@@ -26,7 +26,8 @@ def tile_stats(df: DataFrame, n_salt: int = 0, salt_col: str = "image_id",
     """
     base_aggs = {
         "n_rows": F.count(F.lit(1)),
-        "bytes_in": F.sum(F.coalesce(F.length("bytes"), F.lit(0))),
+        "bytes_in": (F.sum(F.coalesce(F.length("bytes"), F.lit(0)))
+                     if "bytes" in df.columns else F.sum(F.lit(0)).cast("long")),
     }
     if extra_aggs:
         base_aggs.update(extra_aggs)

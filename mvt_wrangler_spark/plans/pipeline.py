@@ -45,6 +45,7 @@ def run_pipeline(
     z: int = 10,
     min_z: int = 0,
     dedup: bool = True,
+    dedup_mode: str = "window",
     n_salt: int = 8,
     output_path: str | None = None,
     output_partitions: int | None = None,
@@ -81,9 +82,23 @@ def run_pipeline(
     else:
         survivors = assigned.withColumn("filter_mask", F.lit(0).cast("long"))
 
-    deduped = D.phash_dedup(survivors) if dedup else survivors
+    # dedup_mode="window" keeps the full surviving rows (required by the
+    # archive sink); "agg" shuffles only the group keys + keeper id + per-
+    # group byte stats (map-side combined, ~5 narrow columns instead of every
+    # column) — the right choice when downstream needs keepers/stats only.
+    # At 10^12 rows the window variant's shuffle carries the image bytes.
+    if not dedup:
+        deduped = survivors
+    elif dedup_mode == "agg":
+        extra = {}
+        if "bytes" in survivors.columns:
+            extra["bytes_in"] = F.sum(F.coalesce(F.length("bytes"), F.lit(0)))
+        deduped = D.phash_dedup_agg(survivors, extra_aggs=extra)
+    else:
+        deduped = D.phash_dedup(survivors)
 
-    stats = R.tile_stats(deduped, n_salt=n_salt)
+    salt_col = "phash" if dedup and dedup_mode == "agg" else "image_id"
+    stats = R.tile_stats(deduped, n_salt=n_salt, salt_col=salt_col)
     pyramid = R.pyramid_rollup(
         stats.select("z", "x", "y", "n_rows", "bytes_in"), base_z=z, min_z=min_z
     )

@@ -102,6 +102,7 @@ def main():
     payload = {"n_rows": n_rows, "scenarios": {}}
     for mode, desc in (
         ("full", "assign(z10) + PIP mask + feature/tag filter + H3/S2 encode + phash dedup agg"),
+        ("full_packed", "full with packed single-long group key + numeric keeper + single payload agg (narrow shuffle rows)"),
         ("compute", "same minus high-cardinality dedup (per-tile stats agg instead)"),
     ):
         results = {}

@@ -102,3 +102,25 @@ def test_minhash_and_simhash_similarity_behavior(spark):
     d13 = bin(sh[1] ^ sh[3]).count("1")
     assert d12 < d13
     assert all(0 <= v < (1 << 62) for v in sh.values())
+
+
+@pytest.mark.spark
+def test_ann_lsh_scores_exact(spark):
+    """ann_topk_lsh candidates are ranked by the EXACT quantized dot product
+    (LSH only prunes candidates, never changes scores), and neighbors are
+    distinct per query."""
+    import numpy as np
+
+    from mvt_wrangler_spark.operators.joins import ann_topk_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 1000).astype(np.int64)
+            for r in emb.collect()}
+    got = ann_topk_lsh(emb, k=5).collect()
+    assert len(got) > 0
+    seen = set()
+    for r in got:
+        assert r.score == int(vecs[r.qid] @ vecs[r.neighbor_id])
+        assert (r.qid, r.neighbor_id) not in seen
+        seen.add((r.qid, r.neighbor_id))
+        assert r.neighbor_id != r.qid
