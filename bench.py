@@ -63,9 +63,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     qs = e.queries()
     bench_set = [
-        "tile_assign", "pyramid_rollup", "pip_join", "knn_join",
-        "phash_dedup", "pipeline_e2e", "tag_filter", "events_window",
-        "text_stats", "ann_topk", "minhash_lsh",
+        "tile_assign", "tile_assign_multi", "pyramid_rollup", "pip_join",
+        "intersects_join", "knn_join", "phash_dedup", "pipeline_e2e",
+        "tag_filter", "events_window", "text_stats", "ann_topk",
+        "ann_topk_lsh", "minhash_lsh", "cell_encode", "tile_encode",
+        "embed_neardup_lsh", "simhash",
     ]
     for name in bench_set:
         t0 = time.time()
