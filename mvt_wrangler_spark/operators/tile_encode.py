@@ -196,17 +196,24 @@ def _encode_point_features(ids, pair_codes: np.ndarray, pair_counts: np.ndarray,
     return out.tobytes()
 
 
-def _encode_tile_blob(pdf: pd.DataFrame) -> bytes:
-    """Encode one tile's features as a gzip'd MVT protobuf blob.
+def _encode_tile_blob(pdf: pd.DataFrame, compression: str = "gzip",
+                      level: int = 6) -> bytes:
+    """Encode one tile's features as an MVT protobuf blob (gzip'd by default).
 
     Layers appear in first-seen order; within a layer, features keep input
     order (callers pre-sort by image_id for determinism); tag keys sorted.
+    Point-only tiles (px/py scalar columns) take the vectorized numpy
+    assembly; tiles carrying general geometries (geom_type + tile-local
+    xs/ys vertex arrays) encode LineString/Polygon command streams.
+
+    compression/level mirror the reference's recompression stage
+    (processing.rs:131-155: gzip or store-raw per the archive header; other
+    codecs are rejected there too).
     """
+    general = "xs" in pdf.columns and "geom_type" in pdf.columns
     layer_bytes = []
     for name, L in _layer_dictionaries(pdf):
         g = L["rows"]
-        xs = np.rint(g["px"].to_numpy(dtype=np.float64)).astype(np.int64)
-        ys = np.rint(g["py"].to_numpy(dtype=np.float64)).astype(np.int64)
         # MVT ids are uint64: included only when every image_id parses to a
         # non-negative int < 2^35 (the vectorized varint bound), else omitted
         ids = pd.to_numeric(g["image_id"], errors="coerce")
@@ -215,25 +222,59 @@ def _encode_tile_blob(pdf: pd.DataFrame) -> bytes:
             idarr = None
         else:
             idarr = idv.astype(np.int64)
-        frames = _encode_point_features(idarr, L["pair_codes"], L["pair_counts"], xs, ys)
-        layer_bytes.append(
-            mvt.encode_layer(name, L["keys"], L["values"], [], preframed=frames))
-    return gzip.compress(mvt.encode_tile(layer_bytes), 6)
+        if not general:
+            xs = np.rint(g["px"].to_numpy(dtype=np.float64)).astype(np.int64)
+            ys = np.rint(g["py"].to_numpy(dtype=np.float64)).astype(np.int64)
+            frames = _encode_point_features(idarr, L["pair_codes"],
+                                            L["pair_counts"], xs, ys)
+            layer_bytes.append(
+                mvt.encode_layer(name, L["keys"], L["values"], [], preframed=frames))
+            continue
+        bounds = np.zeros(len(g) + 1, np.int64)
+        np.cumsum(L["pair_counts"], out=bounds[1:])
+        feats = []
+        for i, (gt, vxs, vys) in enumerate(zip(g["geom_type"], g["xs"], g["ys"])):
+            xi = np.rint(np.asarray(vxs, np.float64)).astype(np.int64).tolist()
+            yi = np.rint(np.asarray(vys, np.float64)).astype(np.int64).tolist()
+            if gt == "LineString" and len(xi) >= 2:
+                geom = mvt.linestring_geometry(xi, yi)
+            elif gt == "Polygon" and len(xi) >= 3:
+                geom = mvt.polygon_geometry(xi, yi)
+            else:
+                gt = "Point"
+                geom = mvt.point_geometry(xi[0], yi[0])
+            tags = L["pair_codes"][bounds[i]:bounds[i + 1]].tolist()
+            fid = int(idarr[i]) if idarr is not None else None
+            feats.append(mvt.encode_feature(fid, tags, geom, mvt.GEOM_TYPE[gt]))
+        layer_bytes.append(mvt.encode_layer(name, L["keys"], L["values"], feats))
+    raw = mvt.encode_tile(layer_bytes)
+    if compression == "none":
+        return raw
+    if compression != "gzip":
+        raise ValueError(f"unsupported tile compression: {compression}")
+    return gzip.compress(raw, level)
 
 
-def encode_tiles(df: DataFrame) -> DataFrame:
-    """Group rows by tile and encode each to an MVT blob (applyInPandas)."""
+def encode_tiles(df: DataFrame, compression: str = "gzip", level: int = 6) -> DataFrame:
+    """Group rows by tile and encode each to an MVT blob (applyInPandas).
+
+    Geometry comes from px/py point columns, or — when geom_type/xs/ys
+    columns are present — general tile-local vertex arrays (LineString /
+    Polygon command streams). compression="none" stores raw protobuf
+    (header-codec passthrough parity, processing.rs:131-155)."""
+    general = {"geom_type", "xs", "ys"} <= set(df.columns)
 
     def _encode(key, pdf):
         z, x, y, tile_id = key
         pdf = pdf.sort_values("image_id", kind="mergesort")
-        blob = _encode_tile_blob(pdf)
+        blob = _encode_tile_blob(pdf, compression=compression, level=level)
         return pd.DataFrame({
             "z": [z], "x": [x], "y": [y], "tile_id": [tile_id],
             "n_features": [len(pdf)], "data": [blob],
         })
 
-    cols = ["z", "x", "y", "tile_id", "image_id", "layer", "tags", "px", "py"]
+    cols = ["z", "x", "y", "tile_id", "image_id", "layer", "tags"]
+    cols += ["geom_type", "xs", "ys"] if general else ["px", "py"]
     return df.select(*cols).groupBy("z", "x", "y", "tile_id").applyInPandas(_encode, TILE_SCHEMA)
 
 
@@ -262,8 +303,12 @@ def tile_dictionary_stats(df: DataFrame) -> DataFrame:
 
 
 def decode_tile_blob(data: bytes) -> dict:
-    """Inverse of _encode_tile_blob (tests + downstream readers)."""
-    return mvt.decode_tile(gzip.decompress(bytes(data)))
+    """Inverse of _encode_tile_blob (tests + downstream readers); sniffs the
+    gzip magic so raw-stored blobs (compression='none') decode too."""
+    data = bytes(data)
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    return mvt.decode_tile(data)
 
 
 def write_archive(tiles: DataFrame, path: str, n_partitions: int | None = None) -> None:

@@ -86,3 +86,35 @@ def test_multimodal_stubs_and_frame_sampling(spark):
     again = {(r.media_id, r.frame_idx): r.mean_luma for r in MM.sample_frames(media).collect()}
     for r in frames:
         assert again[(r.media_id, r.frame_idx)] == r.mean_luma  # deterministic
+
+
+@pytest.mark.spark
+def test_encode_tiles_general_geometries_and_raw_compression(spark):
+    """LineString/Polygon features round-trip through the MVT blob; raw
+    (uncompressed) storage decodes via magic sniffing."""
+    rows = [
+        ("a", "feats", {"kind": "road"}, "LineString", [0.0, 100.0, 200.0], [0.0, 50.0, 40.0]),
+        ("b", "feats", {"kind": "park"}, "Polygon", [10.0, 110.0, 60.0], [10.0, 10.0, 90.0]),
+        ("c", "feats", {"kind": "poi"}, "Point", [42.0], [24.0]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, layer string, tags map<string,string>, "
+        "geom_type string, xs array<double>, ys array<double>",
+    ).withColumn("lon", F.lit(0.5)).withColumn("lat", F.lit(0.5))
+    assigned = tiling.assign_tiles(df, z=3, with_local=False)
+    for comp in ("gzip", "none"):
+        tiles = TE.encode_tiles(assigned, compression=comp).collect()
+        assert len(tiles) == 1 and tiles[0].n_features == 3
+        doc = TE.decode_tile_blob(tiles[0].data)
+        feats = {None: []}
+        ly = doc["layers"][0]
+        by_type = {f["type"]: f for f in ly["features"]}
+        assert set(by_type) == {"Point", "LineString", "Polygon"}
+        assert by_type["LineString"]["geom"] == [0, 0, 100, 50, 200, 40]
+        assert by_type["Polygon"]["geom"] == [10, 10, 110, 10, 60, 90]
+        assert by_type["Point"]["geom"] == [42, 24]
+        assert ly["keys"] == ["kind"]
+        # raw blob must NOT be gzip; gzip blob must be
+        is_gz = bytes(tiles[0].data)[:2] == b"\x1f\x8b"
+        assert is_gz == (comp == "gzip")
