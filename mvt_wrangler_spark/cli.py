@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--job-id", default=None, help="stable id enables resume")
     p.add_argument("--no-dedup", action="store_true")
     p.add_argument("--cells", action="store_true", help="attach H3/S2 cell columns")
+    p.add_argument("--pmtiles", default=None, metavar="PATH",
+                   help="also export a real PMTiles v3 archive (serving format; "
+                        "tiles MVT-encoded per tile_id)")
     p.add_argument("-n", "--name", default=None)
     p.add_argument("-N", "--description", default=None)
     p.add_argument("-A", "--attribution", default=None)
@@ -102,11 +105,26 @@ def main(argv: list[str] | None = None) -> int:
     with open(f"{args.output}/metadata.json", "w") as f:
         json.dump(meta_in, f, indent=1)
 
+    pm_stats = None
+    if args.pmtiles:
+        # real PMTiles v3 serving archive: MVT-encode the surviving rows per
+        # tile, stream the sorted tiles into one clustered file (lib.rs:82-95)
+        from .operators.tile_encode import encode_tiles
+        from .sources.pmtiles import write_pmtiles
+
+        rows = res.deduped
+        if "image_id" not in rows.columns and "id" in rows.columns:
+            rows = rows.withColumn("image_id", F.col("id").cast("string"))
+        if "tags" not in rows.columns:
+            rows = rows.withColumn("tags", F.create_map(F.lit("kind"), F.col("kind")))
+        pm_stats = write_pmtiles(encode_tiles(rows), args.pmtiles, metadata=meta_in)
+
     print(json.dumps({
         "rows_out": snap["total_rows"],
         "buckets": len(snap["buckets"]),
         "wall_sec": round(time.time() - t0, 1),
         "snapshot": snap["snapshot"],
+        **({"pmtiles": pm_stats} if pm_stats else {}),
     }))
     spark.stop()
     return 0

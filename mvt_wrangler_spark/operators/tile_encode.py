@@ -252,7 +252,10 @@ def _encode_tile_blob(pdf: pd.DataFrame, compression: str = "gzip",
         return raw
     if compression != "gzip":
         raise ValueError(f"unsupported tile compression: {compression}")
-    return gzip.compress(raw, level)
+    # mtime=0: gzip stamps wall-clock MTIME into byte 4-7 by default, which
+    # would make re-executions of the same lazy plan produce different blob
+    # bytes across seconds — blobs must be byte-deterministic (SURVEY §3.3)
+    return gzip.compress(raw, level, mtime=0)
 
 
 def encode_tiles(df: DataFrame, compression: str = "gzip", level: int = 6) -> DataFrame:
