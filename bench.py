@@ -39,10 +39,15 @@ def flagship_rows_per_sec(spark, sf_dir: str) -> tuple[float, int, float]:
     from mvt_wrangler_spark.sources.points import synth_points
 
     n_in = synth_points(spark, sf_dir).count()  # warm scan, not measured
-    t0 = time.time()
-    out = e.q_pipeline_e2e(spark, sf_dir)
-    n_out = _count(out)
-    dt = time.time() - t0
+    _count(e.q_pipeline_e2e(spark, sf_dir))  # JIT warmup, discarded
+    # median of 3 measured runs (BENCH/BASELINE.md protocol: JIT warmup is
+    # 2-5x on run 1-2; measuring it benchmarks the compiler, not the engine)
+    times, n_out = [], 0
+    for _ in range(3):
+        t0 = time.time()
+        n_out = _count(e.q_pipeline_e2e(spark, sf_dir))
+        times.append(time.time() - t0)
+    dt = sorted(times)[1]
     return n_in / dt, n_out, dt
 
 
