@@ -50,12 +50,23 @@ def pip_match_ids_column(spark: SparkSession, polygons: list[tuple[str, G.Polygo
         n = len(px)
         hits: list[list[str]] = [[] for _ in range(n)]
         if n:
-            # candidate polygons for the whole batch's bbox, then exact
+            # batch-bbox grid query prunes far polygons, then a vectorized
+            # per-point bbox mask per candidate prunes rows BEFORE the exact
+            # kernel — a globe-spanning batch against 10^4 polygons costs one
+            # cheap compare per (candidate, row), not an exact PIP each
+            # (points_in_polygon also bbox-culls internally; the explicit
+            # mask keeps the nonzero/append loop off non-candidates too)
             cands = idx.query(px.min(), py.min(), px.max(), py.max())
             for ci in cands:
                 pid, ext, holes = pl[ci]
-                inside = G.points_in_polygon(px, py, G.Polygon(ext, holes))
-                for j in np.nonzero(inside)[0]:
+                poly = G.Polygon(ext, holes)
+                m = ((px >= poly.minx) & (px <= poly.maxx)
+                     & (py >= poly.miny) & (py <= poly.maxy))
+                if not m.any():
+                    continue
+                sub = np.nonzero(m)[0]
+                inside = G.points_in_polygon(px[sub], py[sub], poly)
+                for j in sub[np.nonzero(inside)[0]]:
                     hits[j].append(pid)
         return pd.Series(hits)
 
