@@ -422,6 +422,53 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash64(F.col("text"), shingle=4).alias("simhash"))
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster->vector zonal assignment, value-checked end to end: images are
+    synthesized with an algebraic pixel formula, ENCODED to real bytes
+    (raw / zlib / lossy-quantized codecs), decoded back by the engine and
+    block-reduced to zone stats — while the oracle brute-forces the same
+    formula (with the quantization model for the lossy fmt) in SQL. Exercises
+    S3 decode + the zonal kernel under the driver's value hash, not just
+    pytest."""
+    import numpy as np
+    import pandas as pd
+
+    from mvt_wrangler_spark.operators import zonal as Z
+    from mvt_wrangler_spark.sources import images as I
+
+    W, H = 24, 16
+    ids = _points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(37)) == 3).distinct()
+
+    def gen(pdfs):
+        fmts = ["raw", "rawz", "qlossy"]
+        for pdf in pdfs:
+            rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": [],
+                    "z": [], "x": [], "y": []}
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
+                px = ((int(i) * 31 + yy * 7 + xx * 13 + cc * 5) % 256).astype(np.uint8)
+                fmt = fmts[int(i) % 3]
+                rows["image_id"].append(str(int(i)))
+                rows["bytes"].append(I.encode(px, fmt))
+                rows["fmt"].append(fmt)
+                rows["w"].append(W)
+                rows["h"].append(H)
+                rows["z"].append(0)
+                rows["x"].append(0)
+                rows["y"].append(0)
+            yield pd.DataFrame(rows)
+
+    imgs = ids.mapInPandas(
+        gen, "image_id string, bytes binary, fmt string, w int, h int, "
+             "z int, x bigint, y bigint")
+    out = Z.zonal_stats(imgs, gx=2, gy=2)
+    return out.select(
+        F.col("image_id").cast("long").alias("id"), "zone", "n_px",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling position-weighted fingerprint mod 2^31-1 (SQL-foldable)."""
     from mvt_wrangler_spark.operators import text as T
@@ -463,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_events": q_topk_events,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
+        "zonal_stats": q_zonal_stats,
         "tile_encode": q_tile_encode,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -727,6 +775,28 @@ p AS (SELECT a.id AS id_a, b.id AS id_b,
 SELECT id_a, id_b FROM p WHERE score > 0 AND score * score * 100 > 16 * na * nb
 """
 
+    # zonal: brute-force the pixel formula per (id, i, j); qlossy decodes to
+    # mid-rise 4-step quantization (v//4*4 + 2) — same as images.encode
+    zonal = f"""
+WITH __pts AS ({POINTS_SQL}),
+__ids AS (SELECT DISTINCT id, CAST(id % 3 AS INT) AS fsel FROM __pts WHERE id % 37 = 3),
+__px AS (
+  SELECT id, i.i, j.j,
+         ((i.i * 2) // 16) * 2 + (j.j * 2) // 24 AS zone,
+         CASE WHEN fsel = 2 THEN ((id*31 + i.i*7 + j.j*13) % 256) // 4 * 4 + 2
+              ELSE (id*31 + i.i*7 + j.j*13) % 256 END AS r,
+         CASE WHEN fsel = 2 THEN ((id*31 + i.i*7 + j.j*13 + 5) % 256) // 4 * 4 + 2
+              ELSE (id*31 + i.i*7 + j.j*13 + 5) % 256 END AS g,
+         CASE WHEN fsel = 2 THEN ((id*31 + i.i*7 + j.j*13 + 10) % 256) // 4 * 4 + 2
+              ELSE (id*31 + i.i*7 + j.j*13 + 10) % 256 END AS b
+  FROM __ids, generate_series(0, 15) i(i), generate_series(0, 23) j(j))
+SELECT id, CAST(zone AS INT) AS zone, CAST(count(*) AS BIGINT) AS n_px,
+       round(CAST(sum(r) AS DOUBLE) / count(*), 6) AS mean_r,
+       round(CAST(sum(g) AS DOUBLE) / count(*), 6) AS mean_g,
+       round(CAST(sum(b) AS DOUBLE) / count(*), 6) AS mean_b
+FROM __px GROUP BY 1, 2
+"""
+
     doc_fp = """
 WITH c AS (
   SELECT doc_id,
@@ -793,4 +863,5 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "lang_id": lang_id,
         "ann_topk": ann,
         "ann_topk_lsh": ann_lsh,
+        "zonal_stats": zonal,
     }
