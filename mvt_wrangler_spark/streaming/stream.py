@@ -34,6 +34,55 @@ def windowed_tile_counts(stream_df: DataFrame, z: int = 10, ts_col: str = "ts",
     )
 
 
+def stream_phash_dedup(assigned_stream: DataFrame,
+                       timeout_ms: int | None = None) -> DataFrame:
+    """CROSS-micro-batch per-tile phash dedup — the custom stateful operator
+    (applyInPandasWithState): per (z, x, y) group, the set of phashes seen so
+    far is the group state; a row is emitted only the first time its
+    (tile, phash) appears across the whole stream. Stateless streaming (or
+    per-batch dropDuplicates) cannot do this; batch phash_dedup is the
+    bounded-input equivalent.
+
+    State growth is bounded per tile by its distinct-phash count;
+    timeout_ms (processing-time) expires idle tiles' state so a 10^12-row
+    stream doesn't hold dead metros forever (expired tiles restart dedup —
+    the documented trade of bounded state).
+
+    Input needs columns image_id, z, x, y, phash. Output = the surviving
+    rows (deterministic keeper: first batch arrival, then min image_id
+    within a batch).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "image_id string, z int, x bigint, y bigint, phash long"
+    state_schema = "phashes array<long>"
+
+    def _dedup(key, pdfs, state: GroupState):
+        z, x, y = key
+        if timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        seen = set(state.get[0]) if state.exists else set()
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("image_id", kind="mergesort")
+            pdf = pdf[~pdf["phash"].isin(seen)].drop_duplicates("phash", keep="first")
+            if len(pdf):
+                seen.update(int(p) for p in pdf["phash"])
+                outs.append(pdf[["image_id", "z", "x", "y", "phash"]])
+        state.update((sorted(seen),))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if outs:
+            yield pd.concat(outs)
+
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
+                    if timeout_ms is not None else GroupStateTimeout.NoTimeout)
+    return assigned_stream.groupBy("z", "x", "y").applyInPandasWithState(
+        _dedup, out_schema, state_schema, "append", timeout_conf)
+
+
 def snapshot_sink(table_root: str, n_buckets: int = 8, key_max: int | None = None):
     """foreachBatch writer: each micro-batch commits one APPEND snapshot,
     keyed by batch id (idempotent on replay after restart — a replayed batch
