@@ -143,6 +143,22 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", F.col("neighbor_id").cast("long").alias("neighbor_id"), "dist2")
 
 
+def q_knn_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both-sides-distributed kNN (salted cell join, expanding-ring rounds) —
+    globally EXACT, so it shares the brute-force oracle with knn_join."""
+    from mvt_wrangler_spark.operators import joins as J
+
+    pts = _points(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", 139.76, 35.68), ("q1", -74.0, 40.71), ("q2", 10.5, -20.25)],
+        "query_id string, lon double, lat double",
+    )
+    out = J.knn_join_cells(pts.withColumn("id", F.col("id").cast("string")),
+                           queries, k=4, z=7, data_id="id", n_salt=4)
+    return out.select("query_id", "rank",
+                      F.col("neighbor_id").cast("long").alias("neighbor_id"), "dist2")
+
+
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvt_wrangler_spark.functions import tiling
     from mvt_wrangler_spark.operators import dedup as D
@@ -492,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersects_join": q_intersects_join,
         "type_filter": q_type_filter,
         "knn_join": q_knn_join,
+        "knn_join_cells": q_knn_join_cells,
         "phash_dedup": q_phash_dedup,
         "pipeline_e2e": q_pipeline_e2e,
         "tag_filter": q_tag_filter,
@@ -853,6 +870,7 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "intersects_join": intersects_join,
         "type_filter": type_filter,
         "knn_join": knn,
+        "knn_join_cells": knn,
         "phash_dedup": dedup,
         "pipeline_e2e": pipeline,
         "tag_filter": tag_filter,

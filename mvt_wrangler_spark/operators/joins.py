@@ -161,66 +161,118 @@ def broadcast_intersects_join(spark: SparkSession, feats: DataFrame,
 def knn_join_cells(data: DataFrame, queries: DataFrame, k: int, z: int = 7,
                    data_id: str = "image_id", query_id: str = "query_id",
                    lon_col: str = "lon", lat_col: str = "lat",
-                   n_salt: int = 8) -> DataFrame:
-    """Salted cell-bucketed kNN for LARGE query sets (both sides distributed).
+                   n_salt: int = 8, max_rounds: int = 12) -> DataFrame:
+    """Salted cell-bucketed kNN for LARGE query sets (both sides
+    distributed) — EXACT by expanding-ring rounds.
 
-    Candidate generation: data rows keyed by their z-tile; query rows
-    exploded to their tile's 3x3 neighborhood; equi-join on the tile key —
-    a plain shuffle join Catalyst/AQE can plan. Hot tiles (dense metros) are
-    salted: data gets salt=hash(id)%n_salt, queries explode across all
-    salts, so one hot cell spreads over n_salt reducers; two-phase top-k
-    ((query, salt)-local then global) bounds every reducer's output at k.
+    Round i explodes each still-unsatisfied query over the (2w+1)^2 cell box
+    around its z-tile (w = 2^i, round 0 = the classic 3x3), equi-joins on
+    (cell, salt) — a plain shuffle join AQE can plan; hot metro cells spread
+    over n_salt reducers and two-phase top-k bounds every reducer at k.
+    A query is DONE when it has k candidates whose k-th distance fits inside
+    the box's interior circle (distance to the nearest box border that has
+    data beyond it; world edges count as infinitely far) — its in-box top-k
+    is then provably the global top-k. Survivors re-probe with doubled w;
+    once the box covers the grid the result is exact by construction, so
+    the loop always terminates (~log2(n) rounds worst case; round counts
+    are driver-side scalars, no data collect).
 
-    Exactness contract: exact among candidates within the 3x3 tile
-    neighborhood at zoom z (choose z so the expected kth-neighbor radius
-    fits one tile; queries whose true neighbors lie further get their
-    nearest in-neighborhood rows). Output: query_id, rank, neighbor_id,
-    dist2.
+    Output: query_id, rank, neighbor_id, dist2 (squared degrees,
+    tie-broken by neighbor id).
     """
     from ..functions import tiling
 
+    n = 1 << z
     d = data.select(
         F.col(data_id).alias("__did"),
-        F.col(lon_col).alias("__dlon"), F.col(lat_col).alias("__dlat"))
-    d = tiling.assign_tiles(
-        d.withColumnRenamed("__dlon", "lon").withColumnRenamed("__dlat", "lat"),
-        z=z, with_local=False,
-    ).select(
+        F.col(lon_col).alias("lon"), F.col(lat_col).alias("lat"))
+    d = tiling.assign_tiles(d, z=z, with_local=False).select(
         "__did", F.col("lon").alias("__dlon"), F.col("lat").alias("__dlat"),
         F.col("x").alias("__cx"), F.col("y").alias("__cy"),
         F.pmod(F.xxhash64(F.col("__did")), F.lit(n_salt)).alias("__salt"),
     )
-    q = queries.select(
-        F.col(query_id).alias("__qid"),
-        F.col(lon_col).alias("lon"), F.col(lat_col).alias("lat"))
-    q = tiling.assign_tiles(q, z=z, with_local=False)
-    n = 1 << z
-    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    q = q.select(
-        "__qid", F.col("lon").alias("__qlon"), F.col("lat").alias("__qlat"),
-        F.explode(F.array(*[
-            F.struct(
-                F.pmod(F.col("x") + dx, F.lit(n)).alias("cx"),  # antimeridian wrap
-                F.greatest(F.lit(0), F.least(F.lit(n - 1), F.col("y") + dy)).alias("cy"),
-            ) for dx, dy in offs
-        ])).alias("__nb"),
-    ).select("__qid", "__qlon", "__qlat",
-             F.col("__nb.cx").alias("__cx"), F.col("__nb.cy").alias("__cy")).dropDuplicates(
-        ["__qid", "__cx", "__cy"])
-    q = q.withColumn("__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)])))
-    pairs = q.join(d, on=["__cx", "__cy", "__salt"])
-    dx = pairs["__dlon"] - pairs["__qlon"]
-    dy = pairs["__dlat"] - pairs["__qlat"]
-    pairs = pairs.withColumn("dist2", dx * dx + dy * dy)
-    w1 = Window.partitionBy("__qid", "__salt").orderBy(F.col("dist2").asc(), F.col("__did").asc())
-    local = pairs.withColumn("__r", F.row_number().over(w1)).filter(F.col("__r") <= k)
-    w2 = Window.partitionBy("__qid").orderBy(F.col("dist2").asc(), F.col("__did").asc())
-    return (
-        local.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select(F.col("__qid").alias(query_id), "rank",
-                F.col("__did").alias("neighbor_id"), "dist2")
-    )
+    d = d.persist()
+    remaining = tiling.assign_tiles(
+        queries.select(F.col(query_id).alias("__qid"),
+                       F.col(lon_col).alias("lon"), F.col(lat_col).alias("lat")),
+        z=z, with_local=False,
+    ).select("__qid", F.col("lon").alias("__qlon"), F.col("lat").alias("__qlat"),
+             F.col("x").alias("__qx"), F.col("y").alias("__qy"))
+
+    finals: list[DataFrame] = []
+    w = 1
+    for _ in range(max_rounds):
+        covers_grid = 2 * w + 1 >= n
+        if covers_grid:
+            # the box would cover the grid: skip the (2w+1)^2 cell explode
+            # and probe everything — the salt explode alone spreads the join
+            qc = remaining.withColumn(
+                "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)])))
+            pairs = qc.join(d, on="__salt")
+        else:
+            qc = remaining.withColumn(
+                "__cx", F.explode(F.sequence(F.greatest(F.lit(0), F.col("__qx") - w),
+                                             F.least(F.lit(n - 1), F.col("__qx") + w))))
+            qc = qc.withColumn(
+                "__cy", F.explode(F.sequence(F.greatest(F.lit(0), F.col("__qy") - w),
+                                             F.least(F.lit(n - 1), F.col("__qy") + w))))
+            qc = qc.withColumn("__salt",
+                               F.explode(F.array(*[F.lit(s) for s in range(n_salt)])))
+            pairs = qc.join(d, on=["__cx", "__cy", "__salt"])
+        dx = pairs["__dlon"] - pairs["__qlon"]
+        dy = pairs["__dlat"] - pairs["__qlat"]
+        pairs = pairs.withColumn("dist2", dx * dx + dy * dy)
+        w1 = Window.partitionBy("__qid", "__salt").orderBy(
+            F.col("dist2").asc(), F.col("__did").asc())
+        local = pairs.withColumn("__r", F.row_number().over(w1)).filter(F.col("__r") <= k)
+        w2 = Window.partitionBy("__qid").orderBy(F.col("dist2").asc(), F.col("__did").asc())
+        res = (local.withColumn("rank", F.row_number().over(w2))
+               .filter(F.col("rank") <= k)
+               .select("__qid", "__qlon", "__qlat", "__qx", "__qy",
+                       "rank", "__did", "dist2"))
+
+        if covers_grid:
+            finals.append(res.select("__qid", "rank", "__did", "dist2"))
+            break
+        # safety radius: distance from the query point to the nearest box
+        # border beyond which data could exist (world edges -> +inf)
+        inf = F.lit(float("inf"))
+        west = tiling.tile_lon(F.col("__qx") - w, z)
+        east = tiling.tile_lon(F.col("__qx") + w + 1, z)
+        north = tiling.tile_lat(F.col("__qy") - w, z)
+        south = tiling.tile_lat(F.col("__qy") + w + 1, z)
+        safe = F.least(
+            F.when(F.col("__qx") - w <= 0, inf).otherwise(F.col("__qlon") - west),
+            F.when(F.col("__qx") + w >= n - 1, inf).otherwise(east - F.col("__qlon")),
+            F.when(F.col("__qy") - w <= 0, inf).otherwise(north - F.col("__qlat")),
+            F.when(F.col("__qy") + w >= n - 1, inf).otherwise(F.col("__qlat") - south),
+        )
+        status = (res.groupBy("__qid")
+                  .agg(F.count(F.lit(1)).alias("__n"), F.max("dist2").alias("__kth2"))
+                  .join(remaining, on="__qid")
+                  .withColumn("__safe", safe)
+                  .withColumn("__done", (F.col("__n") >= k)
+                              & (F.col("__kth2") <= F.col("__safe") * F.col("__safe"))))
+        # localCheckpoint (eager) truncates the per-round plan lineage: the
+        # rounds would otherwise chain into one compounding DAG whose
+        # re-analysis/persist OOMs the driver after a few doublings. The
+        # checkpointed frames are tiny (<= k rows/query; shrinking queries).
+        done_ids = status.filter(F.col("__done")).select("__qid").localCheckpoint()
+        finals.append(res.join(done_ids, on="__qid")
+                      .select("__qid", "rank", "__did", "dist2").localCheckpoint())
+        # anti-join (NOT status-filter): a query with ZERO in-box candidates
+        # has no status row but must keep expanding
+        remaining = remaining.join(done_ids, on="__qid",
+                                   how="left_anti").localCheckpoint()
+        if remaining.isEmpty():
+            break
+        w *= 2
+
+    out = finals[0]
+    for f in finals[1:]:
+        out = out.unionByName(f)
+    return out.select(F.col("__qid").alias(query_id), "rank",
+                      F.col("__did").alias("neighbor_id"), "dist2")
 
 
 def ann_topk_lsh(emb: DataFrame, k: int = 5, id_col: str = "vec_id",

@@ -136,3 +136,31 @@ def test_knn_join_matches_bruteforce(spark, images_rows):
         assert [w[1] for w in want] == [g[1] for g in gotq], qid
         for (wd, _), (_, _, gd) in zip(want, gotq):
             assert abs(wd - gd) < 1e-12
+
+
+@pytest.mark.spark
+def test_knn_join_cells_exact_beyond_3x3(spark):
+    """Expanding-ring exactness: sparse global data at high zoom (tiny cells)
+    puts true neighbors far outside the initial 3x3 ring; queries in empty
+    regions and near world edges must still return the global top-k."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    pts = [(f"d{i:03d}", float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(-170, 170, 120), rng.uniform(-80, 80, 120)))]
+    df = spark.createDataFrame(pts, "image_id string, lon double, lat double")
+    queries = [("qa", 0.0, 0.0), ("qb", -179.5, 0.0), ("qc", 10.0, 84.9),
+               ("qd", 100.0, -60.0)]
+    qdf = spark.createDataFrame(queries, "query_id string, lon double, lat double")
+    # z=10: cell ~0.35 deg, nearest neighbors are typically tens of cells away
+    got = J.knn_join_cells(df, qdf, k=5, z=10, n_salt=4)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.dist2))
+    for qid, qlon, qlat in queries:
+        want = sorted(((lo - qlon) ** 2 + (la - qlat) ** 2, iid)
+                      for iid, lo, la in pts)[:5]
+        gotq = sorted(by_q[qid])
+        assert [n for _, n, _ in gotq] == [i for _, i in want], qid
+        for (_, _, d2), (wd2, _) in zip(gotq, want):
+            assert abs(d2 - wd2) < 1e-9
