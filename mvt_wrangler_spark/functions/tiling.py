@@ -144,6 +144,43 @@ def parent_tile(x: Column, y: Column, levels: int = 1) -> tuple[Column, Column]:
 
 
 # ---------------------------------------------------------------------------
+# Inverse: tile_id -> (z, x, y)  (numpy; archive readers / tests)
+# ---------------------------------------------------------------------------
+
+def tile_id_to_zxy(tile_ids) -> tuple:
+    """Vectorized PMTiles tile_id -> (z, x, y): zoom from the accumulator
+    range, then the standard inverse Hilbert walk (d2xy) with the same
+    rotation convention as with_hilbert_d."""
+    import numpy as np
+
+    tid = np.asarray(tile_ids, dtype=np.int64)
+    z = np.zeros(len(tid), dtype=np.int64)
+    for zz in range(1, 31):
+        z[tid >= _zoom_acc(zz)] = zz
+    d = tid - np.array([_zoom_acc(int(v)) for v in z], dtype=np.int64)
+    x = np.zeros(len(tid), dtype=np.int64)
+    y = np.zeros(len(tid), dtype=np.int64)
+    t = d.copy()
+    max_z = int(z.max()) if len(z) else 0
+    s = 1
+    for _ in range(max_z):
+        active = s < (np.int64(1) << z)  # each id walks exactly its z levels
+        rx = 1 & (t >> 1)
+        ry = 1 & (t ^ rx)
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        x_r = np.where(swap, y_f, x_f)
+        y_r = np.where(swap, x_f, y_f)
+        x = np.where(active, x_r + s * rx, x)
+        y = np.where(active, y_r + s * ry, y)
+        t = np.where(active, t >> 2, t)
+        s <<= 1
+    return z, x, y
+
+
+# ---------------------------------------------------------------------------
 # DataFrame-level assignment
 # ---------------------------------------------------------------------------
 

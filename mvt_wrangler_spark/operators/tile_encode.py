@@ -305,6 +305,45 @@ def tile_dictionary_stats(df: DataFrame) -> DataFrame:
     return df.select(*cols).groupBy("z", "x", "y", "tile_id").applyInPandas(_stats, DICT_SCHEMA)
 
 
+FEATURE_SCHEMA = ("z int, x bigint, y bigint, tile_id bigint, layer string, "
+                  "feature_id bigint, tags map<string,string>, geom_type string, "
+                  "pxs array<double>, pys array<double>")
+
+
+def decode_tiles(tiles: DataFrame) -> DataFrame:
+    """Inverse of encode_tiles: MVT blobs -> one row per feature (the S2+S3
+    READ path: the engine consumes archives it — or any MVT writer — wrote,
+    which closes the reference's decode -> transform -> re-encode loop,
+    transform.rs:79-80). Tags rebuild from the layer dictionaries; values
+    stringify into the engine's map<string,string> tag column."""
+
+    def _dec(pdfs):
+        cols = ("z", "x", "y", "tile_id", "layer", "feature_id", "tags",
+                "geom_type", "pxs", "pys")
+        for pdf in pdfs:
+            rows: dict = {k: [] for k in cols}
+            for t in pdf.itertuples(index=False):
+                doc = decode_tile_blob(bytes(t.data))
+                for ly in doc["layers"]:
+                    keys, vals = ly["keys"], ly["values"]
+                    for f in ly["features"]:
+                        tg = f["tags"]
+                        rows["z"].append(t.z)
+                        rows["x"].append(t.x)
+                        rows["y"].append(t.y)
+                        rows["tile_id"].append(t.tile_id)
+                        rows["layer"].append(ly["name"])
+                        rows["feature_id"].append(f["id"])
+                        rows["tags"].append({keys[tg[i]]: str(vals[tg[i + 1]])
+                                             for i in range(0, len(tg), 2)})
+                        rows["geom_type"].append(f["type"])
+                        rows["pxs"].append([float(v) for v in f["geom"][0::2]])
+                        rows["pys"].append([float(v) for v in f["geom"][1::2]])
+            yield pd.DataFrame(rows)
+
+    return tiles.select("z", "x", "y", "tile_id", "data").mapInPandas(_dec, FEATURE_SCHEMA)
+
+
 def decode_tile_blob(data: bytes) -> dict:
     """Inverse of _encode_tile_blob (tests + downstream readers); sniffs the
     gzip magic so raw-stored blobs (compression='none') decode too."""

@@ -226,6 +226,45 @@ def write_pmtiles(tiles_df, path: str, metadata: dict | None = None,
             "unique_blobs": len(blob_offsets), "bytes": HEADER_LEN + len(root) + len(meta) + len(data)}
 
 
+def read_pmtiles(spark, path: str):
+    """PMTiles archive -> tiles DataFrame (z, x, y, tile_id, data) — the S1+S2
+    scan: the (small) directory parses driver-side, then blob fetches
+    DISTRIBUTE (entries become a DataFrame; executors range-read the shared
+    file — local FS in this sandbox, network/object storage on a cluster,
+    same seam). Run-length entries expand to one row per tile; z/x/y derive
+    from the inverse Hilbert walk."""
+    import numpy as np
+    import pandas as pd
+
+    rd = PMTilesReader(path)
+    data_off = rd.header.data_offset
+    edf = spark.createDataFrame(
+        rd.entries, "tile_id bigint, off bigint, len bigint, run bigint")
+
+    def _fetch(pdfs):
+        from ..functions.tiling import tile_id_to_zxy
+
+        with open(path, "rb") as f:
+            for pdf in pdfs:
+                tids: list[int] = []
+                blobs: list[bytes] = []
+                for tid, off, ln, run in pdf.itertuples(index=False):
+                    f.seek(data_off + int(off))
+                    blob = f.read(int(ln))
+                    for kk in range(int(run)):
+                        tids.append(int(tid) + kk)
+                        blobs.append(blob)
+                z, x, y = tile_id_to_zxy(np.array(tids, dtype=np.int64))
+                yield pd.DataFrame({
+                    "z": z.astype("int32"), "x": x, "y": y,
+                    "tile_id": np.array(tids, dtype=np.int64), "data": blobs,
+                })
+
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    return edf.repartition(n).mapInPandas(
+        _fetch, "z int, x bigint, y bigint, tile_id bigint, data binary")
+
+
 class PMTilesReader:
     """Random-access reader (S2 analog: fetch one tile's blob by id)."""
 
