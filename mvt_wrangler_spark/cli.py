@@ -6,8 +6,9 @@ Reference: mvt-wrangler <in.pmtiles> <out.pmtiles> [--filter f.geojson]
 Here: the archive is a snapshot table of image rows; the run is
   spark-submit --py-files mvt_wrangler_spark.zip -m mvt_wrangler_spark.cli \
       <in_table.parquet|snapshot-root> <out-root> [--filter f.geojson] \
-      [--zoom Z] [--min-zoom 0] [--buckets 16] [--job-id J] [--resume] \
-      [-n NAME] [-N DESC] [-A ATTR]
+      [--zoom Z] [--min-zoom 0] [--buckets 16] [--job-id J] \
+      [--pmtiles out.pmtiles] [-n NAME] [-N DESC] [-A ATTR]
+(re-running with the same --job-id resumes from the staged write)
 
 Output layout (SnapshotTable): data/bucket=*/ sorted by tile_id (the ordered
 sink, processing.rs:98-121 analog), manifests with per-partition lineage,

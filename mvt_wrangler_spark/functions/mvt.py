@@ -128,7 +128,13 @@ def linestring_geometry(xs: list[int], ys: list[int]) -> list[int]:
 
 
 def polygon_geometry(xs: list[int], ys: list[int]) -> list[int]:
-    """One exterior ring (unclosed input); emits MoveTo/LineTo/ClosePath."""
+    """One exterior ring (unclosed input); emits MoveTo/LineTo/ClosePath.
+
+    Known scope: single-ring polygons only — interior rings (holes) and
+    multi-part geometries would append further MoveTo/.../ClosePath runs to
+    the same stream per the spec; the engine's feature schema carries one
+    vertex array per feature, so those are out of scope (decode_geometry
+    flattens any multi-ring stream it reads into its point list)."""
     out = linestring_geometry(xs, ys)
     out.append(CMD_CLOSE | (1 << 3))
     return out

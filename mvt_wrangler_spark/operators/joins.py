@@ -161,7 +161,7 @@ def broadcast_intersects_join(spark: SparkSession, feats: DataFrame,
 def knn_join_cells(data: DataFrame, queries: DataFrame, k: int, z: int = 7,
                    data_id: str = "image_id", query_id: str = "query_id",
                    lon_col: str = "lon", lat_col: str = "lat",
-                   n_salt: int = 8, max_rounds: int = 12) -> DataFrame:
+                   n_salt: int = 8, max_rounds: int | None = None) -> DataFrame:
     """Salted cell-bucketed kNN for LARGE query sets (both sides
     distributed) — EXACT by expanding-ring rounds.
 
@@ -201,7 +201,10 @@ def knn_join_cells(data: DataFrame, queries: DataFrame, k: int, z: int = 7,
 
     finals: list[DataFrame] = []
     w = 1
-    for _ in range(max_rounds):
+    # enough doublings that the final round's box provably covers the grid
+    # (w = 2^(z-1) gives 2w+1 >= 2^z) — exactness never depends on a cap
+    rounds = max_rounds if max_rounds is not None else max(z, 1) + 1
+    for _ in range(rounds):
         covers_grid = 2 * w + 1 >= n
         if covers_grid:
             # the box would cover the grid: skip the (2w+1)^2 cell explode

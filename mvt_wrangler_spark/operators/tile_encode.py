@@ -103,6 +103,9 @@ def _varint_stream(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     # int64 throughout: numpy's uint64 kernels fall back to slow paths
     # (measured 4-30x slower for exactly this function)
     v = vals.astype(np.int64, copy=False)
+    if len(v) and (int(v.max()) >= (1 << 35) or int(v.min()) < 0):
+        raise ValueError("varint stream values must be in [0, 2^35) "
+                         "(5-byte LEB128 bound); got out-of-range input")
     lens = np.ones(len(v), np.int64)
     for t in (7, 14, 21, 28):
         lens += v >= (1 << t)
