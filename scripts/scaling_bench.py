@@ -88,7 +88,17 @@ def measure(master: str, ncpus: int, path: str, n_runs: int = 5, mode: str = "fu
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     r = json.loads(line)
-    r["runs"] = r["runs"][2:]  # drop 2 warmups (JIT + python worker pool)
+    # warmup handling: a fresh local[32] JVM can need 4+ runs to JIT-settle
+    # on the dedup-agg scenario (round-2 observation: 156/44/31/24 s before
+    # ~10-12 s steady state), so a fixed drop-2 leaves warmup in the sample.
+    # Drop leading runs until within 1.5x of the session minimum (always
+    # dropping at least the first 2), keeping >= 2 measurements.
+    runs = r["runs"]
+    floor_sec = min(x["sec"] for x in runs)
+    k = 2
+    while k < len(runs) - 2 and runs[k]["sec"] > 1.5 * floor_sec:
+        k += 1
+    r["runs"] = runs[k:]
     return r
 
 
