@@ -111,3 +111,70 @@ def test_vectorized_feature_stream_matches_scalar():
                                mvt.point_geometry(int(xs[i]), int(ys[i])), 1)
         want2 += mvt._ld(2, f)
     assert got2 == bytes(want2)
+
+
+def test_property_roundtrip_random_tiles():
+    """Property: decode(encode(tile)) == tile for random layer/feature/tag/
+    geometry combinations (hypothesis, bounded)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    values = st.one_of(
+        st.text(max_size=12), st.booleans(),
+        st.integers(min_value=-2**40, max_value=2**40),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+    )
+    feature = st.fixed_dictionaries({
+        "id": st.one_of(st.none(), st.integers(min_value=0, max_value=2**40)),
+        "ntags": st.integers(min_value=0, max_value=4),
+        "gtype": st.sampled_from(["Point", "LineString", "Polygon"]),
+        "pts": st.lists(st.tuples(st.integers(-8192, 8192), st.integers(-8192, 8192)),
+                        min_size=3, max_size=6),
+    })
+    layer = st.fixed_dictionaries({
+        "name": st.text(min_size=1, max_size=8),
+        "keys": st.lists(st.text(min_size=1, max_size=8), min_size=4, max_size=4,
+                         unique=True),
+        "values": st.lists(values, min_size=4, max_size=4),
+        "features": st.lists(feature, min_size=0, max_size=3),
+    })
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(layer, min_size=0, max_size=3))
+    def check(layers):
+        blobs = []
+        for ly in layers:
+            feats = []
+            for f in ly["features"]:
+                xs = [p[0] for p in f["pts"]]
+                ys = [p[1] for p in f["pts"]]
+                if f["gtype"] == "Point":
+                    geom = mvt.point_geometry(xs[0], ys[0])
+                elif f["gtype"] == "LineString":
+                    geom = mvt.linestring_geometry(xs, ys)
+                else:
+                    geom = mvt.polygon_geometry(xs, ys)
+                tags = [v for i in range(f["ntags"]) for v in (i, i)]
+                feats.append(mvt.encode_feature(f["id"], tags, geom,
+                                                mvt.GEOM_TYPE[f["gtype"]]))
+            blobs.append(mvt.encode_layer(ly["name"], ly["keys"], ly["values"], feats))
+        doc = mvt.decode_tile(mvt.encode_tile(blobs))
+        assert len(doc["layers"]) == len(layers)
+        for got, want in zip(doc["layers"], layers):
+            assert got["name"] == want["name"]
+            assert got["keys"] == want["keys"]
+            for gv, wv in zip(got["values"], want["values"]):
+                assert gv == wv and type(gv) is type(wv)
+            assert len(got["features"]) == len(want["features"])
+            for gf, wf in zip(got["features"], want["features"]):
+                assert gf["id"] == wf["id"]
+                assert gf["type"] == wf["gtype"]
+                assert gf["tags"] == [v for i in range(wf["ntags"]) for v in (i, i)]
+                xs = [p[0] for p in wf["pts"]]
+                ys = [p[1] for p in wf["pts"]]
+                if wf["gtype"] == "Point":
+                    assert gf["geom"] == [xs[0], ys[0]]
+                else:
+                    assert gf["geom"] == [c for p in zip(xs, ys) for c in p]
+
+    check()
