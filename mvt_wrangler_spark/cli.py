@@ -83,7 +83,8 @@ def main(argv: list[str] | None = None) -> int:
     # tile ids at zoom z live in [_zoom_acc(z), _zoom_acc(z+1)) — range-bucket
     # on that bound so concatenated buckets are globally tile_id-ordered (S5/W1)
     out = SnapshotTable(args.output, n_buckets=args.buckets,
-                        key_max=_zoom_acc(args.zoom + 1) - 1)
+                        key_max=_zoom_acc(args.zoom + 1) - 1,
+                        key_min=_zoom_acc(args.zoom))
     job_id = args.job_id or f"cli-{int(t0)}"
     snap = out.write_snapshot(res.deduped, job_id=job_id, sort_col="tile_id")
 

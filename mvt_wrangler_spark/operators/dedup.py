@@ -74,16 +74,20 @@ def exact_dedup(df: DataFrame, on: str, order_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _shingle_hashes_np(text: str, n: int) -> np.ndarray:
-    """Mod-P polynomial shingle hashes of the text's byte codes (int64).
+    """Mod-P polynomial shingle hashes of the text's Unicode CODE POINTS.
 
-    Matches shingle_hashes_sql_expr exactly on ASCII text (codes == bytes).
+    Matches shingle_hashes_sql_expr on arbitrary text: DuckDB's ascii() /
+    length() / substr() operate on code points, so the kernel decodes to
+    UTF-32 rather than hashing UTF-8 bytes (bytes-vs-chars diverged on any
+    non-ASCII document). Code points < 2^21, so the windowed dot product is
+    < n * 2^21 * P ~ 2^57 for n<=16 — int64-safe.
     """
-    b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+    b = np.frombuffer((text or "").encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
     if len(b) < n:
         b = np.pad(b, (0, n - len(b)), constant_values=32)  # rpad with spaces
-    win = np.lib.stride_tricks.sliding_window_view(b, n).astype(np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(b, n)
     pows = np.array([pow(257, j, P31) for j in range(n)], dtype=np.int64)
-    return (win @ pows) % P31  # dot < n*255*P ~ 2.7e12, int64-safe
+    return (win @ pows) % P31
 
 
 def shingle_hashes_sql_expr(text: str, n: int) -> str:
@@ -112,7 +116,6 @@ def minhash_band_buckets(text_col: Column, num_hashes: int = 16, bands: int = 4,
     width = num_hashes // bands
     A = np.array([2 * i + 1 for i in range(num_hashes)], dtype=np.int64)
     B = np.array([(i * GOLD + 7) % P31 for i in range(num_hashes)], dtype=np.int64)
-    W = np.array([pow(31, t, P31) for t in range(width)], dtype=np.int64)
     BAND_OFF = (np.arange(bands, dtype=np.int64) << 31)
 
     @pandas_udf("array<long>")
@@ -121,8 +124,13 @@ def minhash_band_buckets(text_col: Column, num_hashes: int = 16, bands: int = 4,
         for t in texts:
             s = _shingle_hashes_np(t, shingle)
             vals = (s[:, None] * A + B) % P31        # (T, H); s*A < 33*P, safe
-            sig = vals.min(axis=0)                   # (H,)
-            folded = (sig.reshape(bands, width) @ W) % P31
+            sig = vals.reshape(len(s), bands, width).min(axis=0)  # (bands, width)
+            # Horner fold mod P per step (sum_t m_t * 31^t mod P): a plain dot
+            # product overflows int64 silently for width >= 7; here every
+            # intermediate stays < 31*P + P < 2^36.
+            folded = np.zeros(bands, dtype=np.int64)
+            for t_ in range(width - 1, -1, -1):
+                folded = (folded * 31 + sig[:, t_]) % P31
             out.append(folded + BAND_OFF)
         return pd.Series(out)
 
@@ -138,10 +146,15 @@ def minhash_buckets_sql_expr(text: str, num_hashes: int = 16, bands: int = 4,
         f"list_transform(generate_series(0, {num_hashes - 1}), i -> "
         f"list_min(list_transform(__sh, s -> (s * (2*i + 1) + (i * {GOLD} + 7) % {P31}) % {P31})))"
     )
-    band = " + ".join(f"__m[k*{width} + {t + 1}] * {pow(31, t, P31)}" for t in range(width))
+    # Horner fold with % P per step — mirrors minhash_band_buckets exactly
+    # and stays in-range for any width (a plain sum-of-products overflows
+    # BIGINT for width >= 7, which DuckDB raises on and numpy wraps silently).
+    band = "CAST(0 AS BIGINT)"
+    for t in range(width - 1, -1, -1):
+        band = f"(({band} * 31 + __m[k*{width} + {t + 1}]) % {P31})"
     return (
         f"(SELECT list_transform(generate_series(0, {bands - 1}), k -> "
-        f"(({band}) % {P31}) + (CAST(k AS BIGINT) << 31)) "
+        f"{band} + (CAST(k AS BIGINT) << 31)) "
         f"FROM (SELECT {mins} AS __m FROM (SELECT {sh} AS __sh)))"
     )
 

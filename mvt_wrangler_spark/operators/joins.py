@@ -225,10 +225,14 @@ def knn_join_cells(data: DataFrame, queries: DataFrame, k: int, z: int = 7,
         dx = pairs["__dlon"] - pairs["__qlon"]
         dy = pairs["__dlat"] - pairs["__qlat"]
         pairs = pairs.withColumn("dist2", dx * dx + dy * dy)
-        w1 = Window.partitionBy("__qid", "__salt").orderBy(
-            F.col("dist2").asc(), F.col("__did").asc())
+        # tie-break equal dist2 NUMERICALLY when the id parses (then by the
+        # string form): string order ('10' < '9') diverges from the numeric
+        # brute-force oracle on exact ties, which the lattice-derived synth
+        # points do produce
+        tie = [F.expr("try_cast(__did AS BIGINT)").asc_nulls_last(), F.col("__did").asc()]
+        w1 = Window.partitionBy("__qid", "__salt").orderBy(F.col("dist2").asc(), *tie)
         local = pairs.withColumn("__r", F.row_number().over(w1)).filter(F.col("__r") <= k)
-        w2 = Window.partitionBy("__qid").orderBy(F.col("dist2").asc(), F.col("__did").asc())
+        w2 = Window.partitionBy("__qid").orderBy(F.col("dist2").asc(), *tie)
         res = (local.withColumn("rank", F.row_number().over(w2))
                .filter(F.col("rank") <= k)
                .select("__qid", "__qlon", "__qlat", "__qx", "__qy",
@@ -352,8 +356,14 @@ FROM __r WHERE rank <= {k}
 
 def knn_join(data: DataFrame, queries: DataFrame, k: int,
              data_id: str = "image_id", query_id: str = "query_id",
-             lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+             lon_col: str = "lon", lat_col: str = "lat",
+             max_queries: int = 100_000) -> DataFrame:
     """Exact k nearest data rows per query row (squared-degree distance).
+
+    BROADCAST-QUERIES variant: the query table is collected to the driver
+    and broadcast, so it is HARD-BOUNDED at `max_queries` rows (raises
+    ValueError above it — ~100k queries x 3 fields is a few MB of broadcast;
+    beyond that, use knn_join_cells, the both-sides-distributed twin).
 
     Two-phase top-k, shaped for 10^12 data rows:
       1. LOCAL phase — queries broadcast as a numpy array; `mapInPandas`
@@ -368,7 +378,12 @@ def knn_join(data: DataFrame, queries: DataFrame, k: int,
     query_id, rank, neighbor_id, dist2.
     """
     spark = data.sparkSession
-    qrows = queries.select(query_id, lon_col, lat_col).collect()
+    qrows = queries.select(query_id, lon_col, lat_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_join broadcasts the query side to the driver and is bounded "
+            f"at max_queries={max_queries} rows; use knn_join_cells for large "
+            f"query sets (both sides distributed, exact expanding-ring)")
     bc = spark.sparkContext.broadcast(
         (
             [r[0] for r in qrows],
@@ -390,9 +405,12 @@ def knn_join(data: DataFrame, queries: DataFrame, k: int,
             dy = dlat[:, None] - qlat[None, :]
             d2 = dx * dx + dy * dy
             kk = min(k, len(pdf))
-            top = np.argpartition(d2, kk - 1, axis=0)[:kk, :]  # (kk, Q)
-            qi = np.repeat(np.arange(len(qids)), kk)
-            di = top.T.reshape(-1)
+            # tie-inclusive local top-k: emit every row at or below the k-th
+            # distance, so boundary ties survive to the global phase and the
+            # window's (dist2, id) tie-break — argpartition alone would keep
+            # an arbitrary member of a tie and could drop the global winner
+            kth = np.partition(d2, kk - 1, axis=0)[kk - 1, :]   # (Q,)
+            di, qi = np.nonzero(d2 <= kth[None, :])
             yield pd.DataFrame({
                 query_id: np.array(qids, dtype=object)[qi],
                 "neighbor_id": dids[di],
@@ -402,7 +420,10 @@ def knn_join(data: DataFrame, queries: DataFrame, k: int,
     survivors = data.select(data_id, lon_col, lat_col).mapInPandas(
         local_topk, f"{query_id} string, neighbor_id string, dist2 double"
     )
-    w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("dist2").asc(),
+        F.expr("try_cast(neighbor_id AS BIGINT)").asc_nulls_last(),
+        F.col("neighbor_id").asc())
     return (
         survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

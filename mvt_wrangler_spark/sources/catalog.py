@@ -54,11 +54,12 @@ from pyspark.sql import functions as F
 
 class SnapshotTable:
     def __init__(self, root: str, n_buckets: int = 16, bucket_col: str = "tile_id",
-                 key_max: int | None = None):
+                 key_max: int | None = None, key_min: int = 0):
         self.root = root
         self.n_buckets = n_buckets
         self.bucket_col = bucket_col
         self.key_max = key_max
+        self.key_min = key_min
         os.makedirs(f"{root}/manifests", exist_ok=True)
         os.makedirs(f"{root}/data", exist_ok=True)
 
@@ -66,13 +67,15 @@ class SnapshotTable:
     def _bucketed(self, df: DataFrame) -> DataFrame:
         key = F.col(self.bucket_col)
         if self.key_max is not None:
-            # range bucket: floor(key * n / (key_max+1)) — concatenating
-            # buckets 0..n-1 yields global cluster-key order
-            b = F.least(
-                F.lit(self.n_buckets - 1),
-                F.floor(key * self.n_buckets / F.lit(self.key_max + 1)).cast("int"),
-            )
-            b = F.greatest(F.lit(0), b)
+            # range bucket over [key_min, key_max]: divide-before-multiply so
+            # key * n_buckets never forms (ANSI int64 overflow for deep-zoom
+            # tile ids), and shifting by key_min keeps every bucket usable
+            # instead of leaving the sub-key_min prefix structurally empty.
+            # Concatenating buckets 0..n-1 yields global cluster-key order.
+            span = self.key_max - self.key_min + 1
+            width = max(1, -(-span // self.n_buckets))  # ceil, python ints
+            b = F.floor((key - F.lit(self.key_min)) / F.lit(width)).cast("int")
+            b = F.greatest(F.lit(0), F.least(F.lit(self.n_buckets - 1), b))
         else:
             b = F.pmod(key, F.lit(self.n_buckets)).cast("int")  # hash-style
         return df.withColumn("__bucket", b)
@@ -104,6 +107,15 @@ class SnapshotTable:
 
         missing = [b for b in range(self.n_buckets)
                    if not os.path.exists(self._marker(job_id, b))]
+        # Stale-marker guard: markers can outlive their staged data (e.g. a
+        # vacuum(force=True) of a crashed job). Committing against them would
+        # silently record empty/missing buckets — data loss with no error.
+        # If any marker exists while the staged _SUCCESS is gone, drop ALL
+        # markers and restage from the input plan (one Spark write, correct).
+        if len(missing) < self.n_buckets and not os.path.exists(f"{data_dir}/_SUCCESS"):
+            shutil.rmtree(f"{self.root}/manifests/job-{job_id}", ignore_errors=True)
+            os.makedirs(f"{self.root}/manifests/job-{job_id}", exist_ok=True)
+            missing = list(range(self.n_buckets))
         if missing:
             if not os.path.exists(f"{data_dir}/_SUCCESS"):
                 n_out = max(df.sparkSession.sparkContext.defaultParallelism,
@@ -207,15 +219,34 @@ class SnapshotTable:
         snap = self.current_snapshot()
         return snap["buckets"] if snap else []
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, force: bool = False) -> list[str]:
         """Delete job data dirs not referenced by the CURRENT snapshot
-        (Iceberg expire-snapshots analog). Returns removed dirs."""
+        (Iceberg expire-snapshots analog). Returns removed dirs.
+
+        Job dirs with a manifests/job-<id> directory but no committed
+        snapshot are in flight (staged or crashed mid-run): removing their
+        data while markers survive would make a later resume commit empty
+        buckets. They are SKIPPED unless force=True, which removes both the
+        data dir and the marker dir so a resume restages from scratch.
+        """
         snap = self.current_snapshot()
         live = {os.path.dirname(m["path"]) for m in (snap or {}).get("buckets", [])}
+        committed_jobs = set()
+        for fn in os.listdir(f"{self.root}/manifests"):
+            if fn.startswith("snapshot-") and fn.endswith(".json"):
+                with open(f"{self.root}/manifests/{fn}") as f:
+                    committed_jobs.add(json.load(f)["job_id"])
         removed = []
         for d in sorted(os.listdir(f"{self.root}/data")):
             full = f"{self.root}/data/{d}"
-            if os.path.isdir(full) and full not in live:
-                shutil.rmtree(full)
-                removed.append(full)
+            if not os.path.isdir(full) or full in live:
+                continue
+            in_flight = (os.path.isdir(f"{self.root}/manifests/job-{d}")
+                         and d not in committed_jobs)
+            if in_flight and not force:
+                continue
+            shutil.rmtree(full)
+            if in_flight:
+                shutil.rmtree(f"{self.root}/manifests/job-{d}", ignore_errors=True)
+            removed.append(full)
         return removed

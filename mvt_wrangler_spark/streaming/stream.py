@@ -83,7 +83,8 @@ def stream_phash_dedup(assigned_stream: DataFrame,
         _dedup, out_schema, state_schema, "append", timeout_conf)
 
 
-def snapshot_sink(table_root: str, n_buckets: int = 8, key_max: int | None = None):
+def snapshot_sink(table_root: str, n_buckets: int = 8, key_max: int | None = None,
+                  key_min: int = 0):
     """foreachBatch writer: each micro-batch commits one APPEND snapshot,
     keyed by batch id (idempotent on replay after restart — a replayed batch
     reuses its job-scoped staging dir and markers, so no duplicate data).
@@ -93,7 +94,8 @@ def snapshot_sink(table_root: str, n_buckets: int = 8, key_max: int | None = Non
     clobbered — the table accumulates (incremental tile ingest)."""
     from ..sources.catalog import SnapshotTable
 
-    table = SnapshotTable(table_root, n_buckets=n_buckets, key_max=key_max)
+    table = SnapshotTable(table_root, n_buckets=n_buckets, key_max=key_max,
+                          key_min=key_min)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         table.write_snapshot(batch_df, job_id=f"stream-batch-{batch_id}",

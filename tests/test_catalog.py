@@ -125,3 +125,93 @@ def test_append_snapshots_accumulate(spark, table):
                          job_id="stream-batch-1", append=True)
     assert table.current_snapshot_id() == before
     assert table.read_current(spark).count() == 5000
+
+
+@pytest.mark.spark
+def test_vacuum_skips_in_flight_job(spark, table):
+    """vacuum must not delete staged-but-uncommitted job data (crashed or
+    in-flight): resuming after such a delete would commit empty buckets."""
+    table.write_snapshot(_df(spark), job_id="committed")
+
+    class Boom(RuntimeError):
+        pass
+
+    def bomb(b, m):
+        if b == 2:
+            raise Boom()
+
+    with pytest.raises(Boom):
+        table.write_snapshot(_df(spark).filter(F.col("id") < 1000),
+                             job_id="crashed", progress=bomb)
+    assert os.path.isdir(f"{ROOT}/data/crashed")
+
+    # default vacuum: in-flight job survives
+    removed = table.vacuum()
+    assert f"{ROOT}/data/crashed" not in removed
+    assert os.path.isdir(f"{ROOT}/data/crashed")
+    # ... and the resume completes losslessly afterwards
+    snap = table.write_snapshot(_df(spark).filter(F.col("id") < 1000), job_id="crashed")
+    assert snap["total_rows"] == 1000
+
+    # force vacuum of a fresh crashed job removes data AND markers together
+    with pytest.raises(Boom):
+        table.write_snapshot(_df(spark).filter(F.col("id") < 500),
+                             job_id="crashed2", progress=bomb)
+    removed = table.vacuum(force=True)
+    assert f"{ROOT}/data/crashed2" in removed
+    assert not os.path.isdir(f"{ROOT}/manifests/job-crashed2")
+    # resume after force-vacuum restages from scratch (no empty-bucket commit)
+    snap = table.write_snapshot(_df(spark).filter(F.col("id") < 500), job_id="crashed2")
+    assert snap["total_rows"] == 500
+
+
+@pytest.mark.spark
+def test_stale_markers_force_restage(spark, table):
+    """Markers without their staged data (e.g. data dir removed out-of-band)
+    must trigger a full restage, never a commit of missing buckets."""
+    class Boom(RuntimeError):
+        pass
+
+    def bomb(b, m):
+        if b == 3:
+            raise Boom()
+
+    with pytest.raises(Boom):
+        table.write_snapshot(_df(spark), job_id="s1", progress=bomb)
+    shutil.rmtree(f"{ROOT}/data/s1")  # simulate out-of-band data loss
+    snap = table.write_snapshot(_df(spark), job_id="s1")
+    assert snap["total_rows"] == 5000
+    assert table.read_current(spark).count() == 5000
+
+
+@pytest.mark.spark
+def test_deep_zoom_range_bucketing_no_overflow(spark):
+    """Range bucketing at deep-zoom tile ids: key * n_buckets would overflow
+    int64 (ANSI error) pre-fix; key_min keeps early buckets populated."""
+    from mvt_wrangler_spark.functions.tiling import _zoom_acc
+
+    z = 28
+    lo, hi = _zoom_acc(z), _zoom_acc(z + 1) - 1
+    root = ROOT + "_deep"
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        t = SnapshotTable(root, n_buckets=8, bucket_col="tile_id",
+                          key_max=hi, key_min=lo)
+        step = (hi - lo) // 4000
+        df = spark.range(0, 4000).select(
+            F.col("id"), (F.lit(lo) + F.col("id") * F.lit(step)).alias("tile_id"))
+        snap = t.write_snapshot(df, job_id="deep", sort_col="tile_id")
+        assert snap["total_rows"] == 4000
+        # keys spread across buckets (pre-fix: first ~1/4 structurally empty)
+        nonempty = [m for m in t.lineage() if m["rows"] > 0]
+        assert len(nonempty) >= 6
+        prev_max = -1
+        for m in t.lineage():
+            if not m["files"]:
+                continue
+            vals = [r.tile_id for r in
+                    spark.read.parquet(m["path"]).select("tile_id").collect()]
+            assert min(vals) > prev_max
+            prev_max = max(vals)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

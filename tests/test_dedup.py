@@ -124,3 +124,80 @@ def test_ann_lsh_scores_exact(spark):
         assert (r.qid, r.neighbor_id) not in seen
         seen.add((r.qid, r.neighbor_id))
         assert r.neighbor_id != r.qid
+
+
+@pytest.mark.spark
+def test_minhash_wide_band_and_unicode_match_duckdb(spark):
+    """Two ADVICE regressions in one oracle check: (a) band width >= 7 used
+    to overflow int64 silently in numpy while DuckDB raised/diverged — the
+    Horner fold keeps both in range and identical; (b) shingle hashes ran
+    over UTF-8 bytes while DuckDB's ascii() is code points — non-ASCII docs
+    diverged. Both engines must now agree bucket-for-bucket."""
+    import duckdb
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "naïve café résumé — déjà vu über alles"),
+        (3, "日本語のテキストを含む文書です タイル処理"),
+        (4, "mixed ascii and 中文 characters with émojis ✨ in one doc"),
+        (5, "short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for num_hashes, bands in ((16, 4), (32, 2)):  # widths 4 and 16 (>= 7 arm)
+        got = {
+            (r.doc_id, i, v)
+            for r in docs.select(
+                "doc_id",
+                D.minhash_band_buckets(F.col("text"), num_hashes, bands).alias("b"),
+            ).collect()
+            for i, v in enumerate(r.b)
+        }
+        con = duckdb.connect()
+        try:
+            con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+            con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+            expr = D.minhash_buckets_sql_expr("text", num_hashes, bands)
+            want = {
+                (doc_id, i, v)
+                for doc_id, lst in con.execute(
+                    f"SELECT doc_id, {expr} FROM d").fetchall()
+                for i, v in enumerate(lst)
+            }
+        finally:
+            con.close()
+        assert got == want, f"num_hashes={num_hashes} bands={bands}"
+
+
+@pytest.mark.spark
+def test_simhash_unicode_matches_duckdb(spark):
+    import duckdb
+
+    rows = [(1, "über café naïve"), (2, "日本語 テスト 文書"), (3, "plain ascii words")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.s for r in
+           docs.select("doc_id", D.simhash64(F.col("text")).alias("s")).collect()}
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+        want = dict(con.execute(
+            f"SELECT doc_id, {D.simhash_sql_expr('text')} FROM d").fetchall())
+    finally:
+        con.close()
+    assert got == want
+
+
+@pytest.mark.spark
+def test_knn_join_query_bound_raises(spark):
+    from mvt_wrangler_spark.operators.joins import knn_join
+
+    data = spark.range(0, 100).select(
+        F.col("id").cast("string").alias("image_id"),
+        (F.col("id") * 0.1).alias("lon"), (F.col("id") * 0.05).alias("lat"))
+    queries = spark.range(0, 50).select(
+        F.col("id").cast("string").alias("query_id"),
+        (F.col("id") * 0.2).alias("lon"), (F.col("id") * 0.1).alias("lat"))
+    with pytest.raises(ValueError, match="knn_join_cells"):
+        knn_join(data, queries, k=3, max_queries=10)
+    # under the bound it works
+    assert knn_join(data, queries, k=3, max_queries=50).count() == 150
