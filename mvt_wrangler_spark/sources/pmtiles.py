@@ -11,15 +11,25 @@ Spark-scale story: the distributed archive IS the range-partitioned parquet
 tile table (tile_encode.write_archive / SnapshotTable); PMTiles is a SERVING
 format — a single file assembled in one ordered pass. write_pmtiles streams
 the sorted tiles through the driver with toLocalIterator (one partition in
-memory at a time, never a full collect), appending blobs to the data section
-while accumulating the (small) directory. Identical consecutive blobs
-deduplicate via run-length entries; identical non-consecutive blobs share
-one data offset (clustered + deduplicated, as the spec encourages).
+memory at a time, never a full collect); each blob is APPENDED to a temp
+data file the moment it arrives, and leaf directories are encoded +
+compressed + spilled to a second temp file every `leaf_size` entries, so
+driver memory is bounded at O(leaf_size entries + one root entry per leaf +
+the capped dedup map) regardless of archive size — a planet archive streams
+through in constant RAM. Identical consecutive blobs deduplicate via
+run-length entries; identical non-consecutive blobs share one data offset
+via a size-capped sha1 map (clustered + deduplicated, as the spec
+encourages; past the cap new duplicates are stored again — a space
+trade-off, never a correctness one).
 
 Layout written: 127-byte header | gzip'd root directory | gzip'd JSON
-metadata | tile data. Root-only directories (no leaf split): entries stay in
-memory; fine into the millions of tiles. The reader rejects leaf-directory
-archives explicitly rather than misreading them.
+metadata | leaf directory section | tile data. Archives up to `leaf_size`
+entries get a root-only directory; larger ones split into leaf directories
+(root entries with run_length=0 point at leaf offsets, per the v3 spec) —
+the root is therefore always <= leaf_size entries. The reader handles both
+forms, resolving leaves lazily (get_tile touches one leaf; the distributed
+scan ships leaf POINTERS to executors, which decode their own leaves, so
+the full entry list never materializes on the driver).
 """
 
 from __future__ import annotations
@@ -27,6 +37,8 @@ from __future__ import annotations
 import gzip
 import hashlib
 import json
+import os
+import shutil
 import struct
 from dataclasses import dataclass
 
@@ -161,124 +173,234 @@ class Header:
                       flags[4], flags[5], *i4, cz, *c2)
 
 
+DEFAULT_LEAF_SIZE = int(os.environ.get("SPARK_GRAFT_PMTILES_LEAF_SIZE", "16384"))
+
+
 def write_pmtiles(tiles_df, path: str, metadata: dict | None = None,
-                  tile_compression: int = COMPRESSION_GZIP) -> dict:
+                  tile_compression: int = COMPRESSION_GZIP,
+                  leaf_size: int = DEFAULT_LEAF_SIZE,
+                  max_dedup_blobs: int = 1 << 20) -> dict:
     """Write a PMTiles v3 archive from a tiles DataFrame
     (z, x, y, tile_id, data) — blobs as stored (gzip'd MVT from
     encode_tiles). One ordered pass: repartitionByRange + per-file sort gives
-    globally ascending tile_ids through toLocalIterator; blobs stream to the
-    data section, directory entries accumulate in memory.
+    globally ascending tile_ids through toLocalIterator.
 
-    Returns summary stats. Mirrors the reference's writer setup + finalize
+    SCALE-SAFE: blobs stream straight to a temp data file (the driver never
+    holds more than one blob), and once the directory exceeds `leaf_size`
+    entries it switches to leaf mode — every `leaf_size` entries are encoded,
+    gzip'd and appended to a temp leaf file, keeping only one root pointer
+    entry per leaf in memory. Peak driver state is therefore
+    O(leaf_size + n_entries/leaf_size + min(unique_blobs, max_dedup_blobs))
+    whatever the archive size. Final assembly splices
+    header | root | metadata | leaf section | data section with bounded-chunk
+    file copies.
+
+    Returns summary stats (incl. `peak_buffered_entries` so tests can assert
+    the bound). Mirrors the reference's writer setup + finalize
     (src/lib.rs:82-95, processing.rs:98-121)."""
     sorted_df = (tiles_df.select("z", "x", "y", "tile_id", "data")
                  .repartitionByRange(max(tiles_df.sparkSession.sparkContext
                                          .defaultParallelism, 8), "tile_id")
                  .sortWithinPartitions("tile_id"))
-    entries: list[tuple[int, int, int, int]] = []
-    blob_offsets: dict[bytes, tuple[int, int]] = {}  # sha1 -> (offset, len)
-    data = bytearray()
+    tmp_data, tmp_leaf = path + ".data.tmp", path + ".leaf.tmp"
+    entries: list[tuple[int, int, int, int]] = []   # pending (<= leaf_size+1)
+    root_entries: list[tuple[int, int, int, int]] = []  # leaf pointers (run=0)
+    blob_offsets: dict[bytes, tuple[int, int]] = {}  # sha1 -> (offset, len), capped
     zmin, zmax = 99, 0
-    n_addressed = 0
+    n_addressed = n_entries = n_contents = 0
+    data_len = leaf_len = 0
+    peak_buffered = 0
+    leaf_mode = False
     last_id = -1
-    for row in sorted_df.toLocalIterator():
-        tid = row.tile_id
-        assert tid > last_id, "tile ids must be strictly ascending/unique"
-        last_id = tid
-        blob = bytes(row.data)
-        digest = hashlib.sha1(blob).digest()
-        n_addressed += 1
-        zmin, zmax = min(zmin, row.z), max(zmax, row.z)
-        if entries and digest in blob_offsets \
-                and blob_offsets[digest][0] == entries[-1][1] \
-                and entries[-1][0] + entries[-1][3] == tid:
-            # identical blob contiguous in id space: extend the run
-            tid0, off, ln, rl = entries[-1]
-            entries[-1] = (tid0, off, ln, rl + 1)
-            continue
-        if digest in blob_offsets:
-            off, ln = blob_offsets[digest]  # deduplicated content
-        else:
-            off, ln = len(data), len(blob)
-            data += blob
-            blob_offsets[digest] = (off, ln)
-        entries.append((tid, off, ln, 1))
+    with open(tmp_data, "wb") as data_f, open(tmp_leaf, "wb") as leaf_f:
 
-    root = gzip.compress(encode_directory(entries), 6, mtime=0)
+        def flush_leaf() -> None:
+            nonlocal leaf_len
+            comp = gzip.compress(encode_directory(entries), 6, mtime=0)
+            root_entries.append((entries[0][0], leaf_len, len(comp), 0))
+            leaf_f.write(comp)
+            leaf_len += len(comp)
+            entries.clear()
+
+        for row in sorted_df.toLocalIterator():
+            tid = row.tile_id
+            assert tid > last_id, "tile ids must be strictly ascending/unique"
+            last_id = tid
+            blob = bytes(row.data)
+            digest = hashlib.sha1(blob).digest()
+            n_addressed += 1
+            zmin, zmax = min(zmin, row.z), max(zmax, row.z)
+            if entries and digest in blob_offsets \
+                    and blob_offsets[digest][0] == entries[-1][1] \
+                    and entries[-1][0] + entries[-1][3] == tid:
+                # identical blob contiguous in id space: extend the run
+                tid0, off, ln, rl = entries[-1]
+                entries[-1] = (tid0, off, ln, rl + 1)
+                continue
+            if digest in blob_offsets:
+                off, ln = blob_offsets[digest]  # deduplicated content
+            else:
+                off, ln = data_len, len(blob)
+                data_f.write(blob)
+                data_len += ln
+                n_contents += 1
+                if len(blob_offsets) < max_dedup_blobs:
+                    blob_offsets[digest] = (off, ln)
+            entries.append((tid, off, ln, 1))
+            n_entries += 1
+            peak_buffered = max(peak_buffered, len(entries))
+            if not leaf_mode and len(entries) > leaf_size:
+                leaf_mode = True
+            if leaf_mode and len(entries) >= leaf_size:
+                flush_leaf()
+
+        if leaf_mode and entries:
+            flush_leaf()
+    root_dir = root_entries if leaf_mode else entries
+
+    root = gzip.compress(encode_directory(root_dir), 6, mtime=0)
     meta = gzip.compress(json.dumps(metadata or {}, separators=(",", ":")).encode(),
                          6, mtime=0)
+    leaf_offset = HEADER_LEN + len(root) + len(meta)
     hdr = Header(
         root_offset=HEADER_LEN, root_len=len(root),
         meta_offset=HEADER_LEN + len(root), meta_len=len(meta),
-        leaf_offset=HEADER_LEN + len(root) + len(meta), leaf_len=0,
-        data_offset=HEADER_LEN + len(root) + len(meta), data_len=len(data),
-        addressed_tiles=n_addressed, tile_entries=len(entries),
-        tile_contents=len(blob_offsets), clustered=True,
+        leaf_offset=leaf_offset, leaf_len=leaf_len,
+        data_offset=leaf_offset + leaf_len, data_len=data_len,
+        addressed_tiles=n_addressed, tile_entries=n_entries,
+        tile_contents=n_contents, clustered=True,
         tile_compression=tile_compression,
-        min_zoom=zmin if entries else 0, max_zoom=zmax if entries else 0,
+        min_zoom=zmin if n_entries else 0, max_zoom=zmax if n_entries else 0,
     )
     with open(path, "wb") as f:
         f.write(hdr.pack())
         f.write(root)
         f.write(meta)
-        f.write(data)
-    return {"tiles": n_addressed, "entries": len(entries),
-            "unique_blobs": len(blob_offsets), "bytes": HEADER_LEN + len(root) + len(meta) + len(data)}
+        for tmp in (tmp_leaf, tmp_data):
+            with open(tmp, "rb") as src:
+                shutil.copyfileobj(src, f, length=1 << 22)  # 4 MiB chunks
+    os.remove(tmp_data)
+    os.remove(tmp_leaf)
+    return {"tiles": n_addressed, "entries": n_entries,
+            "unique_blobs": n_contents, "leaves": len(root_entries),
+            "peak_buffered_entries": peak_buffered,
+            "bytes": leaf_offset + leaf_len + data_len}
+
+
+def _fetch_rows(f, data_off: int, entries, tids: list, blobs: list) -> None:
+    """Append (tile_id, blob) rows for directory entries (run-aware)."""
+    for tid, off, ln, run in entries:
+        f.seek(data_off + int(off))
+        blob = f.read(int(ln))
+        for kk in range(int(run)):
+            tids.append(int(tid) + kk)
+            blobs.append(blob)
 
 
 def read_pmtiles(spark, path: str):
     """PMTiles archive -> tiles DataFrame (z, x, y, tile_id, data) — the S1+S2
-    scan: the (small) directory parses driver-side, then blob fetches
-    DISTRIBUTE (entries become a DataFrame; executors range-read the shared
-    file — local FS in this sandbox, network/object storage on a cluster,
-    same seam). Run-length entries expand to one row per tile; z/x/y derive
-    from the inverse Hilbert walk."""
+    scan: only the ROOT directory parses driver-side. Root-only archives
+    distribute their entries directly; leaf archives distribute LEAF
+    POINTERS, and each executor range-reads + decodes its own leaf
+    directories before fetching blobs, so the full entry list never
+    materializes on the driver (a planet archive's root is ~1/leaf_size of
+    its entries). Executors range-read the shared file — local FS in this
+    sandbox, network/object storage on a cluster, same seam. Run-length
+    entries expand to one row per tile; z/x/y derive from the inverse
+    Hilbert walk."""
     import numpy as np
     import pandas as pd
 
     rd = PMTilesReader(path)
-    data_off = rd.header.data_offset
-    edf = spark.createDataFrame(
-        rd.entries, "tile_id bigint, off bigint, len bigint, run bigint")
+    hdr = rd.header
+    data_off, leaf_off = hdr.data_offset, hdr.leaf_offset
+    gz_internal = hdr.internal_compression == COMPRESSION_GZIP
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    out_schema = "z int, x bigint, y bigint, tile_id bigint, data binary"
 
-    def _fetch(pdfs):
+    def _frame(tids, blobs):
         from ..functions.tiling import tile_id_to_zxy
 
+        z, x, y = tile_id_to_zxy(np.array(tids, dtype=np.int64))
+        return pd.DataFrame({
+            "z": z.astype("int32"), "x": x, "y": y,
+            "tile_id": np.array(tids, dtype=np.int64), "data": blobs,
+        })
+
+    if rd.leafed:
+        ldf = spark.createDataFrame(
+            [(off, ln) for _, off, ln, _ in rd.root],
+            "loff bigint, llen bigint")
+
+        def _fetch_leaves(pdfs):
+            with open(path, "rb") as f:
+                for pdf in pdfs:
+                    for loff, llen in pdf.itertuples(index=False):
+                        f.seek(leaf_off + int(loff))
+                        raw = f.read(int(llen))
+                        if gz_internal:
+                            raw = gzip.decompress(raw)
+                        tids: list[int] = []
+                        blobs: list[bytes] = []
+                        _fetch_rows(f, data_off, decode_directory(raw), tids, blobs)
+                        yield _frame(tids, blobs)
+
+        return ldf.repartition(n).mapInPandas(_fetch_leaves, out_schema)
+
+    edf = spark.createDataFrame(
+        rd.root, "tile_id bigint, off bigint, len bigint, run bigint")
+
+    def _fetch(pdfs):
         with open(path, "rb") as f:
             for pdf in pdfs:
-                tids: list[int] = []
-                blobs: list[bytes] = []
-                for tid, off, ln, run in pdf.itertuples(index=False):
-                    f.seek(data_off + int(off))
-                    blob = f.read(int(ln))
-                    for kk in range(int(run)):
-                        tids.append(int(tid) + kk)
-                        blobs.append(blob)
-                z, x, y = tile_id_to_zxy(np.array(tids, dtype=np.int64))
-                yield pd.DataFrame({
-                    "z": z.astype("int32"), "x": x, "y": y,
-                    "tile_id": np.array(tids, dtype=np.int64), "data": blobs,
-                })
+                tids, blobs = [], []
+                _fetch_rows(f, data_off, pdf.itertuples(index=False), tids, blobs)
+                yield _frame(tids, blobs)
 
-    n = max(spark.sparkContext.defaultParallelism, 8)
-    return edf.repartition(n).mapInPandas(
-        _fetch, "z int, x bigint, y bigint, tile_id bigint, data binary")
+    return edf.repartition(n).mapInPandas(_fetch, out_schema)
 
 
 class PMTilesReader:
-    """Random-access reader (S2 analog: fetch one tile's blob by id)."""
+    """Random-access reader (S2 analog: fetch one tile's blob by id).
+
+    Leaf-directory aware: the root parses eagerly; leaves resolve lazily and
+    cache per leaf, so get_tile touches exactly one leaf (two range reads —
+    the spec's access pattern for planet archives)."""
 
     def __init__(self, path: str):
         self.path = path
         with open(path, "rb") as f:
             self.header = Header.unpack(f.read(HEADER_LEN))
-            if self.header.leaf_len:
-                raise NotImplementedError("leaf directories not supported")
             f.seek(self.header.root_offset)
             root = f.read(self.header.root_len)
         if self.header.internal_compression == COMPRESSION_GZIP:
             root = gzip.decompress(root)
-        self.entries = decode_directory(root)
+        self.root = decode_directory(root)
+        # run_length == 0 marks a leaf-directory pointer (v3 spec)
+        self.leafed = any(rl == 0 for _, _, _, rl in self.root)
+        self._leaf_cache: dict[int, list[tuple[int, int, int, int]]] = {}
+
+    def _leaf(self, off: int, ln: int) -> list[tuple[int, int, int, int]]:
+        if off not in self._leaf_cache:
+            with open(self.path, "rb") as f:
+                f.seek(self.header.leaf_offset + off)
+                raw = f.read(ln)
+            if self.header.internal_compression == COMPRESSION_GZIP:
+                raw = gzip.decompress(raw)
+            self._leaf_cache[off] = decode_directory(raw)
+        return self._leaf_cache[off]
+
+    @property
+    def entries(self) -> list[tuple[int, int, int, int]]:
+        """Fully-resolved entry list (loads every leaf — test/tooling helper;
+        the distributed scan and get_tile never need it)."""
+        if not self.leafed:
+            return self.root
+        out: list[tuple[int, int, int, int]] = []
+        for _, off, ln, rl in self.root:
+            assert rl == 0
+            out.extend(self._leaf(off, ln))
+        return out
 
     def metadata(self) -> dict:
         with open(self.path, "rb") as f:
@@ -288,21 +410,35 @@ class PMTilesReader:
             raw = gzip.decompress(raw)
         return json.loads(raw)
 
-    def get_tile(self, tile_id: int) -> bytes | None:
-        """Binary search over directory entries (run-length aware)."""
-        lo, hi = 0, len(self.entries) - 1
+    @staticmethod
+    def _search(entries: list[tuple[int, int, int, int]], tile_id: int):
+        """Rightmost entry with tid <= tile_id, or None."""
+        lo, hi, best = 0, len(entries) - 1, None
         while lo <= hi:
             mid = (lo + hi) // 2
-            tid, off, ln, rl = self.entries[mid]
-            if tid <= tile_id < tid + rl:
-                with open(self.path, "rb") as f:
-                    f.seek(self.header.data_offset + off)
-                    return f.read(ln)
-            if tile_id < tid:
-                hi = mid - 1
-            else:
+            if entries[mid][0] <= tile_id:
+                best = entries[mid]
                 lo = mid + 1
-        return None
+            else:
+                hi = mid - 1
+        return best
+
+    def get_tile(self, tile_id: int) -> bytes | None:
+        """Two-level binary search (root -> leaf), run-length aware."""
+        e = self._search(self.root, tile_id)
+        if e is None:
+            return None
+        tid, off, ln, rl = e
+        if rl == 0:  # leaf pointer: descend
+            e = self._search(self._leaf(off, ln), tile_id)
+            if e is None:
+                return None
+            tid, off, ln, rl = e
+        if not tid <= tile_id < tid + rl:
+            return None
+        with open(self.path, "rb") as f:
+            f.seek(self.header.data_offset + off)
+            return f.read(ln)
 
     def tile_ids(self) -> list[int]:
         return [tid + k for tid, _, _, rl in self.entries for k in range(rl)]

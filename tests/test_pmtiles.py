@@ -80,3 +80,80 @@ def test_pmtiles_dedup_and_runs(spark, tmp_path):
     assert rd.entries[0][3] == 8
     for i in range(8):
         assert rd.get_tile(1000 + i) == blob
+
+
+@pytest.mark.spark
+def test_pmtiles_leaf_directories_roundtrip(spark, tmp_path):
+    """Archives past the root-size threshold split into leaf directories
+    (v3 spec: run_length=0 root entries point into the leaf section).
+    Forces many leaves with a tiny leaf_size; asserts the driver-side
+    buffer bound, random access through leaves, the lazy leaf cache, and
+    the distributed leaf-pointer scan."""
+    from mvt_wrangler_spark.functions import tiling
+    from mvt_wrangler_spark.operators import tile_encode as TE
+    from mvt_wrangler_spark.sources import images as I
+
+    df = I.synthetic_images(spark, 2000, with_pixels=False, partitions=4)
+    assigned = tiling.assign_tiles(df, z=7)
+    tiles = TE.encode_tiles(assigned)
+    want = {r.tile_id: bytes(r.data) for r in tiles.collect()}
+
+    path = str(tmp_path / "leafed.pmtiles")
+    leaf_size = 64
+    stats = P.write_pmtiles(tiles, path, metadata={"name": "leafed"},
+                            leaf_size=leaf_size)
+    assert stats["tiles"] == len(want)
+    assert stats["leaves"] >= 2, "test must exercise multiple leaves"
+    # driver RSS bound: never more than one leaf of entries buffered, and
+    # the data section was never held in memory (streams to the temp file)
+    assert stats["peak_buffered_entries"] <= leaf_size + 1
+
+    rd = P.PMTilesReader(path)
+    assert rd.leafed
+    assert rd.header.leaf_len > 0
+    assert len(rd.root) == stats["leaves"]
+    assert all(rl == 0 for _, _, _, rl in rd.root)
+    assert rd.metadata() == {"name": "leafed"}
+
+    # random access resolves exactly one leaf per tile (lazy cache)
+    some = sorted(want)[: 2 * leaf_size + 3]
+    for tid in some:
+        assert rd.get_tile(tid) == want[tid]
+    assert 1 <= len(rd._leaf_cache) <= stats["leaves"]
+    assert rd.get_tile(max(want) + 99999) is None
+    assert rd.get_tile(min(want) - 1 if min(want) > 0 else -1) is None
+
+    # full resolution matches, strictly ascending across leaf boundaries
+    ids = rd.tile_ids()
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    assert sorted(ids) == sorted(want)
+
+    # distributed scan: executors decode their own leaves
+    back = {r.tile_id: bytes(r.data) for r in P.read_pmtiles(spark, path).collect()}
+    assert back == want
+
+
+@pytest.mark.spark
+def test_pmtiles_leaf_run_length_across_boundary(spark, tmp_path):
+    """Run-length dedup still works in leaf mode; a run broken by a leaf
+    flush re-opens as a fresh entry (correct, just less compact)."""
+    import gzip as _gz
+
+    blobs = [_gz.compress(b"same", 6), _gz.compress(b"other", 6)]
+    # runs of 3 identical blobs, alternating content -> entries accumulate
+    # (run extension can't absorb everything) and leaves flush mid-run
+    rows = [(5, i % 32, i // 32, 5000 + i, 1, bytearray(blobs[(i // 3) % 2]))
+            for i in range(40)]
+    tiles = spark.createDataFrame(
+        rows, "z int, x bigint, y bigint, tile_id bigint, n_features bigint, data binary")
+    path = str(tmp_path / "leafrun.pmtiles")
+    stats = P.write_pmtiles(tiles, path, leaf_size=4)
+    assert stats["unique_blobs"] == 2          # content dedup across runs
+    assert stats["leaves"] >= 2
+    rd = P.PMTilesReader(path)
+    assert rd.leafed
+    for i in range(40):
+        assert rd.get_tile(5000 + i) == blobs[(i // 3) % 2]
+    assert rd.get_tile(4999) is None
+    got = {r.tile_id: bytes(r.data) for r in P.read_pmtiles(spark, path).collect()}
+    assert got == {5000 + i: blobs[(i // 3) % 2] for i in range(40)}
