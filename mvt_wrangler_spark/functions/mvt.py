@@ -23,8 +23,11 @@ from __future__ import annotations
 
 import struct
 
-GEOM_TYPE = {"Point": 1, "LineString": 2, "Polygon": 3}
-GEOM_NAME = {v: k for k, v in GEOM_TYPE.items()}
+GEOM_TYPE = {"Point": 1, "LineString": 2, "Polygon": 3,
+             # MVT's enum has no Multi* distinction: multiplicity lives in
+             # the command stream (spec 4.3.4.4/4.3.4.5)
+             "MultiPoint": 1, "MultiLineString": 2, "MultiPolygon": 3}
+GEOM_NAME = {1: "Point", 2: "LineString", 3: "Polygon"}
 CMD_MOVE, CMD_LINE, CMD_CLOSE = 1, 2, 7
 
 
@@ -75,11 +78,32 @@ def _ld(field: int, payload: bytes) -> bytes:
 
 # -- Value messages -----------------------------------------------------------
 
+class Float32:
+    """Marker wrapper: encode this float as the f32 `float_value=2` branch
+    of the Value oneof (decode_value already returns plain floats for it)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v: float):
+        self.v = float(v)
+
+    def __eq__(self, other):
+        return isinstance(other, Float32) and self.v == other.v
+
+    def __hash__(self):
+        return hash(("f32", self.v))
+
+    def __repr__(self):
+        return f"Float32({self.v!r})"
+
+
 def encode_value(v) -> bytes:
     if isinstance(v, bool):
         return _tag(7, 0) + uvarint(1 if v else 0)
     if isinstance(v, int):
         return _tag(4, 0) + uvarint(v)
+    if isinstance(v, Float32):
+        return _tag(2, 5) + struct.pack("<f", v.v)
     if isinstance(v, float):
         return _tag(3, 1) + struct.pack("<d", v)
     return _ld(1, str(v).encode("utf-8"))
@@ -129,35 +153,113 @@ def linestring_geometry(xs: list[int], ys: list[int]) -> list[int]:
 
 def polygon_geometry(xs: list[int], ys: list[int]) -> list[int]:
     """One exterior ring (unclosed input); emits MoveTo/LineTo/ClosePath.
-
-    Known scope: single-ring polygons only — interior rings (holes) and
-    multi-part geometries would append further MoveTo/.../ClosePath runs to
-    the same stream per the spec; the engine's feature schema carries one
-    vertex array per feature, so those are out of scope (decode_geometry
-    flattens any multi-ring stream it reads into its point list)."""
+    For holes / multi-part polygons use multi_geometry."""
     out = linestring_geometry(xs, ys)
     out.append(CMD_CLOSE | (1 << 3))
     return out
 
 
-def decode_geometry(ints: list[int]) -> tuple[str, list[tuple[int, int]]]:
-    """Command stream -> (type guess, absolute points)."""
-    pts, pos, x, y = [], 0, 0, 0
-    saw_line = saw_close = False
+def multi_geometry(gtype: str, rings_x: list[list[int]],
+                   rings_y: list[list[int]]) -> list[int]:
+    """Full-generality command stream for any MVT geometry family
+    (the reference round-trips these via geo_types, transform.rs:130-139):
+
+      Point/MultiPoint        one MoveTo with count=n (cursor-relative deltas)
+      (Multi)LineString       one MoveTo(1)+LineTo(n-1) run per part
+      (Multi)Polygon + holes  one MoveTo(1)+LineTo(n-1)+ClosePath run per
+                              RING (exterior rings and holes alike; readers
+                              classify by winding, spec 4.3.4.5); ring input
+                              is unclosed (last vertex != first)
+
+    The cursor persists across parts/rings within the feature, per spec.
+    """
+    base = GEOM_TYPE[gtype]
+    out: list[int] = []
+    cx = cy = 0
+    if base == 1:
+        pts = [(x, y) for xs, ys in zip(rings_x, rings_y) for x, y in zip(xs, ys)]
+        out.append(CMD_MOVE | (len(pts) << 3))
+        for x, y in pts:
+            out += [zigzag(x - cx), zigzag(y - cy)]
+            cx, cy = x, y
+        return out
+    for xs, ys in zip(rings_x, rings_y):
+        out += [CMD_MOVE | (1 << 3), zigzag(xs[0] - cx), zigzag(ys[0] - cy)]
+        cx, cy = xs[0], ys[0]
+        if len(xs) > 1:
+            out.append(CMD_LINE | ((len(xs) - 1) << 3))
+            for x, y in zip(xs[1:], ys[1:]):
+                out += [zigzag(x - cx), zigzag(y - cy)]
+                cx, cy = x, y
+        if base == 3:
+            out.append(CMD_CLOSE | (1 << 3))
+    return out
+
+
+def decode_geometry_rings(ints: list[int]) -> list[list[tuple[int, int]]]:
+    """Command stream -> list of parts/rings of absolute points.
+
+    MoveTo(count=n) in a point geometry yields n single-point parts;
+    MoveTo(1)+LineTo runs yield one part per run; ClosePath ends a polygon
+    ring WITHOUT repeating the first vertex (rings come back unclosed, the
+    same convention the encoders take). Cursor is cumulative across parts.
+    """
+    rings: list[list[tuple[int, int]]] = []
+    pos, x, y = 0, 0, 0
+    cur: list[tuple[int, int]] | None = None
     while pos < len(ints):
         cmd, count = ints[pos] & 7, ints[pos] >> 3
         pos += 1
         if cmd == CMD_CLOSE:
-            saw_close = True
+            cur = None
             continue
-        saw_line |= cmd == CMD_LINE
-        for _ in range(count):
-            x += unzigzag(ints[pos])
-            y += unzigzag(ints[pos + 1])
-            pos += 2
-            pts.append((x, y))
+        if cmd == CMD_MOVE:
+            for _ in range(count):
+                x += unzigzag(ints[pos])
+                y += unzigzag(ints[pos + 1])
+                pos += 2
+                cur = [(x, y)]
+                rings.append(cur)
+        else:  # CMD_LINE
+            for _ in range(count):
+                x += unzigzag(ints[pos])
+                y += unzigzag(ints[pos + 1])
+                pos += 2
+                cur.append((x, y))
+    return rings
+
+
+def ring_area2(ring: list[tuple[int, int]]) -> int:
+    """Twice the signed surveyor's area of an unclosed ring. In MVT screen
+    coords (y down) the spec's exterior rings are POSITIVE, holes NEGATIVE
+    (spec 4.3.4.5) — use this to split a polygon ring list into parts."""
+    n = len(ring)
+    s = 0
+    for i in range(n):
+        x0, y0 = ring[i]
+        x1, y1 = ring[(i + 1) % n]
+        s += x0 * y1 - x1 * y0
+    return -s  # y-down flips the sign convention
+
+
+def decode_geometry(ints: list[int]) -> tuple[str, list[tuple[int, int]]]:
+    """Command stream -> (type guess, flattened absolute points).
+    Back-compat wrapper over decode_geometry_rings."""
+    saw_close = any((c & 7) == CMD_CLOSE for c in _command_headers(ints))
+    saw_line = any((c & 7) == CMD_LINE for c in _command_headers(ints))
+    rings = decode_geometry_rings(ints)
+    pts = [pt for r in rings for pt in r]
     gtype = "Polygon" if saw_close else ("LineString" if saw_line else "Point")
     return gtype, pts
+
+
+def _command_headers(ints: list[int]):
+    pos = 0
+    while pos < len(ints):
+        h = ints[pos]
+        yield h
+        cmd, count = h & 7, h >> 3
+        pos += 1 + (0 if cmd == CMD_CLOSE else 2 * count)
 
 
 # -- Feature / Layer / Tile ---------------------------------------------------
@@ -238,7 +340,7 @@ def _decode_layer(buf: bytes) -> dict:
 
 
 def _decode_feature(buf: bytes) -> dict:
-    out = {"id": None, "tags": [], "geom": [], "type": "Point"}
+    out = {"id": None, "tags": [], "geom": [], "type": "Point", "ring_lens": []}
     pos = 0
     while pos < len(buf):
         key, pos = read_uvarint(buf, pos)
@@ -263,7 +365,8 @@ def _decode_feature(buf: bytes) -> dict:
             while p < len(body):
                 v, p = read_uvarint(body, p)
                 ints.append(v)
-            _, pts = decode_geometry(ints)
-            out["geom"] = [c for pt in pts for c in pt]
+            rings = decode_geometry_rings(ints)
+            out["ring_lens"] = [len(r) for r in rings]
+            out["geom"] = [c for r in rings for pt in r for c in pt]
         pos = end
     return out

@@ -214,6 +214,7 @@ def _encode_tile_blob(pdf: pd.DataFrame, compression: str = "gzip",
     codecs are rejected there too).
     """
     general = "xs" in pdf.columns and "geom_type" in pdf.columns
+    rings = "xss" in pdf.columns and "geom_type" in pdf.columns
     layer_bytes = []
     for name, L in _layer_dictionaries(pdf):
         g = L["rows"]
@@ -225,7 +226,7 @@ def _encode_tile_blob(pdf: pd.DataFrame, compression: str = "gzip",
             idarr = None
         else:
             idarr = idv.astype(np.int64)
-        if not general:
+        if not (general or rings):
             xs = np.rint(g["px"].to_numpy(dtype=np.float64)).astype(np.int64)
             ys = np.rint(g["py"].to_numpy(dtype=np.float64)).astype(np.int64)
             frames = _encode_point_features(idarr, L["pair_codes"],
@@ -236,6 +237,20 @@ def _encode_tile_blob(pdf: pd.DataFrame, compression: str = "gzip",
         bounds = np.zeros(len(g) + 1, np.int64)
         np.cumsum(L["pair_counts"], out=bounds[1:])
         feats = []
+        if rings:
+            # full geometry family: geom_type + per-ring vertex arrays
+            # (holes / Multi* — transform.rs:130-139 parity)
+            for i, (gt, rxs, rys) in enumerate(zip(g["geom_type"], g["xss"], g["yss"])):
+                rxi = [np.rint(np.asarray(r, np.float64)).astype(np.int64).tolist()
+                       for r in rxs]
+                ryi = [np.rint(np.asarray(r, np.float64)).astype(np.int64).tolist()
+                       for r in rys]
+                geom = mvt.multi_geometry(gt, rxi, ryi)
+                tags = L["pair_codes"][bounds[i]:bounds[i + 1]].tolist()
+                fid = int(idarr[i]) if idarr is not None else None
+                feats.append(mvt.encode_feature(fid, tags, geom, mvt.GEOM_TYPE[gt]))
+            layer_bytes.append(mvt.encode_layer(name, L["keys"], L["values"], feats))
+            continue
         for i, (gt, vxs, vys) in enumerate(zip(g["geom_type"], g["xs"], g["ys"])):
             xi = np.rint(np.asarray(vxs, np.float64)).astype(np.int64).tolist()
             yi = np.rint(np.asarray(vys, np.float64)).astype(np.int64).tolist()
@@ -278,9 +293,14 @@ def encode_tiles(df: DataFrame, compression: str = "gzip", level: int = 6,
     columns are present — general tile-local vertex arrays (LineString /
     Polygon command streams). compression="none" stores raw protobuf
     (header-codec passthrough parity, processing.rs:131-155)."""
-    general = {"geom_type", "xs", "ys"} <= set(df.columns)
+    dfc = set(df.columns)
     cols = ["z", "x", "y", "tile_id", "image_id", "layer", "tags"]
-    cols += ["geom_type", "xs", "ys"] if general else ["px", "py"]
+    if {"geom_type", "xss", "yss"} <= dfc:
+        cols += ["geom_type", "xss", "yss"]   # ring-structured geometries
+    elif {"geom_type", "xs", "ys"} <= dfc:
+        cols += ["geom_type", "xs", "ys"]
+    else:
+        cols += ["px", "py"]
     n = n_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 8)
     pre = (df.select(*cols)
            .repartition(n, "tile_id")
@@ -364,43 +384,55 @@ def tile_dictionary_stats(df: DataFrame, n_partitions: int | None = None) -> Dat
     return pre.mapInPandas(_stats_iter, DICT_SCHEMA)
 
 
-FEATURE_SCHEMA = ("z int, x bigint, y bigint, tile_id bigint, layer string, "
-                  "feature_id bigint, tags map<string,string>, geom_type string, "
-                  "pxs array<double>, pys array<double>")
+_FEATURE_COLS = ("layer string, feature_id bigint, tags map<string,{tags}>, "
+                 "geom_type string, ring_lens array<int>, "
+                 "pxs array<double>, pys array<double>")
+FEATURE_SCHEMA = ("z int, x bigint, y bigint, tile_id bigint, "
+                  + _FEATURE_COLS.format(tags="string"))
+VALUE_STRUCT_DDL = "struct<t:int,s:string,i:bigint,f:double,fs:string,b:boolean>"
+FEATURE_SCHEMA_TYPED = ("z int, x bigint, y bigint, tile_id bigint, "
+                        + _FEATURE_COLS.format(tags=VALUE_STRUCT_DDL))
 
-
-def decode_tiles(tiles: DataFrame) -> DataFrame:
+def decode_tiles(tiles: DataFrame, typed: bool = False,
+                 vectorized: bool = True) -> DataFrame:
     """Inverse of encode_tiles: MVT blobs -> one row per feature (the S2+S3
     READ path: the engine consumes archives it — or any MVT writer — wrote,
     which closes the reference's decode -> transform -> re-encode loop,
-    transform.rs:79-80). Tags rebuild from the layer dictionaries; values
-    stringify into the engine's map<string,string> tag column."""
+    transform.rs:79-80). Tags rebuild from the layer dictionaries.
 
-    def _dec(pdfs):
-        cols = ("z", "x", "y", "tile_id", "layer", "feature_id", "tags",
-                "geom_type", "pxs", "pys")
-        for pdf in pdfs:
-            rows: dict = {k: [] for k in cols}
-            for t in pdf.itertuples(index=False):
-                doc = decode_tile_blob(bytes(t.data))
-                for ly in doc["layers"]:
-                    keys, vals = ly["keys"], ly["values"]
-                    for f in ly["features"]:
-                        tg = f["tags"]
-                        rows["z"].append(t.z)
-                        rows["x"].append(t.x)
-                        rows["y"].append(t.y)
-                        rows["tile_id"].append(t.tile_id)
-                        rows["layer"].append(ly["name"])
-                        rows["feature_id"].append(f["id"])
-                        rows["tags"].append({keys[tg[i]]: str(vals[tg[i + 1]])
-                                             for i in range(0, len(tg), 2)})
-                        rows["geom_type"].append(f["type"])
-                        rows["pxs"].append([float(v) for v in f["geom"][0::2]])
-                        rows["pys"].append([float(v) for v in f["geom"][1::2]])
-            yield pd.DataFrame(rows)
+    typed=False stringifies values into the engine's map<string,string> tag
+    column; typed=True preserves the Value oneof as the expr layer's
+    map<string, struct<t,s,i,f,fs,b>> (transform.rs:118-128 parity — `5`
+    and `"5"` stay distinguishable through the archive round-trip).
 
-    return tiles.select("z", "x", "y", "tile_id", "data").mapInPandas(_dec, FEATURE_SCHEMA)
+    Geometry comes back ring-structured: pxs/pys hold ALL vertices in
+    stream order, ring_lens the per-ring vertex counts (holes and Multi*
+    parts round-trip — spec 4.3.4.4/4.3.4.5).
+
+    vectorized=True (default) runs mapInArrow: one numpy varint parse per
+    Arrow batch, pointer-jumped field/command walks, Arrow-native Map/List
+    output (functions/mvt_np.py) — no per-feature Python objects anywhere.
+    Batches outside the pure-varint contract fall back to the scalar
+    flattener automatically. vectorized=False forces the scalar twin
+    end-to-end (the pytest cross-check, and the round-2 behavior)."""
+    from ..functions import mvt_np
+
+    schema = FEATURE_SCHEMA_TYPED if typed else FEATURE_SCHEMA
+
+    def _dec(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            blobs = batch.column("data").to_pylist()
+            try:
+                if not vectorized:
+                    raise mvt_np.VarintFallback
+                flat = mvt_np.flatten_np(blobs)
+            except mvt_np.VarintFallback:
+                flat = mvt_np.flatten_scalar(blobs)
+            yield mvt_np.to_record_batch(flat, batch, typed)
+
+    return tiles.select("z", "x", "y", "tile_id", "data").mapInArrow(_dec, schema)
 
 
 def decode_tile_blob(data: bytes) -> dict:

@@ -178,3 +178,124 @@ def test_property_roundtrip_random_tiles():
                     assert gf["geom"] == [c for p in zip(xs, ys) for c in p]
 
     check()
+
+
+def test_float32_value_branch():
+    """f32 float_value=2 encodes (wire type 5) and decodes to its exact
+    f32-representable float."""
+    for x in [1.5, -0.25, 1024.0, 0.0]:
+        enc = mvt.encode_value(mvt.Float32(x))
+        assert enc[0] == (2 << 3) | 5  # field 2, 32-bit wire type
+        assert mvt.decode_value(enc) == x
+
+
+def test_multi_geometry_families_roundtrip():
+    """Holes + Multi* round-trip through the command stream (spec
+    4.3.4.4/4.3.4.5), and winding classifies exterior vs hole."""
+    # polygon with a hole: exterior CW-in-screen-coords, hole opposite
+    ext = ([0, 100, 100, 0], [0, 0, 100, 100])
+    hole = ([20, 20, 80, 80], [20, 80, 80, 20])  # reversed winding
+    g = mvt.multi_geometry("Polygon", [ext[0], hole[0]], [ext[1], hole[1]])
+    rings = mvt.decode_geometry_rings(g)
+    assert [len(r) for r in rings] == [4, 4]
+    assert rings[0] == list(zip(*ext))
+    assert rings[1] == list(zip(*hole))
+    a0, a1 = mvt.ring_area2(rings[0]), mvt.ring_area2(rings[1])
+    assert a0 * a1 < 0, "exterior and hole must have opposite winding"
+
+    # multipolygon: two separate exteriors, same winding
+    g2 = mvt.multi_geometry("MultiPolygon",
+                            [[0, 10, 10, 0], [50, 60, 60, 50]],
+                            [[0, 0, 10, 10], [0, 0, 10, 10]])
+    r2 = mvt.decode_geometry_rings(g2)
+    assert len(r2) == 2
+    assert mvt.ring_area2(r2[0]) * mvt.ring_area2(r2[1]) > 0
+
+    # multilinestring and multipoint
+    mls = mvt.multi_geometry("MultiLineString", [[0, 5], [9, 9, 12]],
+                             [[0, 5], [1, 4, 4]])
+    assert [len(r) for r in mvt.decode_geometry_rings(mls)] == [2, 3]
+    mp = mvt.multi_geometry("MultiPoint", [[1, 2, 3]], [[4, 5, 6]])
+    assert mvt.decode_geometry_rings(mp) == [[(1, 4)], [(2, 5)], [(3, 6)]]
+
+
+def test_property_multiring_roundtrip_and_vectorized_parity():
+    """Property: (a) multi-ring/multi-part geometry streams round-trip
+    ring-exact; (b) the vectorized flattener produces the identical flat
+    contract as the scalar one on the same random tiles."""
+    import gzip
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mvt_wrangler_spark.functions import mvt_np
+
+    ring = st.lists(st.tuples(st.integers(-8192, 8192), st.integers(-8192, 8192)),
+                    min_size=3, max_size=5)
+    feature = st.fixed_dictionaries({
+        "id": st.one_of(st.none(), st.integers(min_value=0, max_value=2**40)),
+        "ntags": st.integers(min_value=0, max_value=3),
+        "gtype": st.sampled_from(["Point", "MultiPoint", "LineString",
+                                  "MultiLineString", "Polygon", "MultiPolygon"]),
+        "rings": st.lists(ring, min_size=1, max_size=3),
+    })
+    layer = st.fixed_dictionaries({
+        "name": st.text(min_size=1, max_size=6),
+        "keys": st.lists(st.text(min_size=1, max_size=6), min_size=3, max_size=3,
+                         unique=True),
+        "values": st.lists(st.one_of(
+            st.text(max_size=8), st.booleans(),
+            st.integers(min_value=-2**40, max_value=2**40),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+        ), min_size=3, max_size=3),
+        "features": st.lists(feature, min_size=0, max_size=3),
+    })
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(layer, min_size=0, max_size=2))
+    def check(layers):
+        lbufs = []
+        want_rings = []  # (gtype, rings) per feature in stream order
+        for ly in layers:
+            feats = []
+            for f in ly["features"]:
+                rxs = [[p[0] for p in r] for r in f["rings"]]
+                rys = [[p[1] for p in r] for r in f["rings"]]
+                if f["gtype"] == "Point":
+                    rxs, rys = [rxs[0][:1]], [rys[0][:1]]
+                geom = mvt.multi_geometry(f["gtype"], rxs, rys)
+                tags = [v for i in range(f["ntags"]) for v in (i, i)]
+                feats.append(mvt.encode_feature(f["id"], tags, geom,
+                                                mvt.GEOM_TYPE[f["gtype"]]))
+                if mvt.GEOM_TYPE[f["gtype"]] == 1:
+                    pts = [(x, y) for xs, ys in zip(rxs, rys)
+                           for x, y in zip(xs, ys)]
+                    want_rings.append([[p] for p in pts])
+                else:
+                    want_rings.append([list(zip(xs, ys))
+                                       for xs, ys in zip(rxs, rys)])
+            lbufs.append(mvt.encode_layer(ly["name"], ly["keys"],
+                                          ly["values"], feats))
+        blob = gzip.compress(mvt.encode_tile(lbufs), 6, mtime=0)
+
+        # (a) ring-exact round-trip through the scalar decoder
+        doc = mvt.decode_tile(gzip.decompress(blob))
+        got_feats = [f for ly in doc["layers"] for f in ly["features"]]
+        assert len(got_feats) == len(want_rings)
+        for gf, wr in zip(got_feats, want_rings):
+            assert gf["ring_lens"] == [len(r) for r in wr]
+            flat = [c for r in wr for pt in r for c in pt]
+            assert gf["geom"] == flat
+
+        # (b) vectorized == scalar flat contract
+        a = mvt_np.flatten_np([blob])
+        b = mvt_np.flatten_scalar([blob])
+        for k in a:
+            va, vb = a[k], b[k]
+            if isinstance(va, np.ndarray):
+                assert np.array_equal(va, vb), k
+            else:
+                assert list(va) == list(vb), k
+
+    check()
