@@ -684,10 +684,20 @@ SELECT __nf.x, __nf.y, __nf.tile_id, __nf.layer, n_features, n_keys, n_values,
 FROM __nf JOIN __kj USING (x, y, layer) JOIN __vj USING (x, y, layer)
 """
 
-    # tag_filter truth, precomputed from the fixture rule semantics:
-    # pgf:name:ja dropped (starts-with pgf:name:), name:fr dropped (capture
-    # 'fr' not in keep list); name ('' capture), name:ja, kind kept.
-    tag_filter = f"WITH {pts} SELECT id, 'kind,name,name:ja' AS kept_keys FROM __pts"
+    # tag_filter: the fixture's global tag-prune rule RESTATED in SQL and
+    # actually evaluated per key (self-checking oracle — VERDICT r2 item 7):
+    # drop key if starts_with 'pgf:name:', or starts_with 'name' with a
+    # language capture outside the keep list ('', 'ja', 'en', '2').
+    tag_filter = f"""
+WITH {pts},
+__keys AS (SELECT unnest(['kind','name','name:ja','name:fr','pgf:name:ja']) AS k),
+__kept AS (
+  SELECT string_agg(k, ',' ORDER BY k) AS kept FROM __keys
+  WHERE NOT (starts_with(k, 'pgf:name:')
+             OR (starts_with(k, 'name')
+                 AND regexp_extract(k, '^name:?(.*)$', 1) NOT IN ('', 'ja', 'en', '2')))
+)
+SELECT id, kept AS kept_keys FROM __pts, __kept"""
 
     expr_filter = """
 SELECT p_partkey FROM part

@@ -161,44 +161,66 @@ def minhash_buckets_sql_expr(text: str, num_hashes: int = 16, bands: int = 4,
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                            num_hashes: int = 16, bands: int = 4, shingle: int = 5,
-                           max_bucket: int = 1000) -> DataFrame:
+                           max_bucket: int = 1000, hot_fallback: bool = True) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
-    band buckets (one numpy UDF pass) -> explode -> DROP HOT BUCKETS
-    (size > max_bucket: a degenerate bucket of B identical/empty docs would
-    emit O(B^2) pairs and straggle one reducer; real near-dup sets are small,
-    so the cap bounds every reducer's pair output at max_bucket^2 while the
-    dropped bucket ids remain queryable for a quadratic-safe fallback pass)
-    -> self equi-join on bucket -> distinct candidate id pairs (a < b).
+    band buckets (one numpy UDF pass) -> explode -> size-split:
+      * NORMAL buckets (2 <= size <= max_bucket): all-pairs self equi-join —
+        every reducer's pair output is bounded at max_bucket^2.
+      * HOT buckets (size > max_bucket — the 10k-identical-boilerplate case
+        web-scale dedup exists for): all-pairs would emit O(B^2) rows and
+        straggle one reducer, so instead each hot bucket emits STAR pairs
+        (rep, member) against its deterministic representative (min id) —
+        O(B) output, linear shuffle, and every member stays connected to
+        the rep, which is exactly the connectivity dedup clustering needs.
+    -> distinct candidate id pairs (a < b; the rep is the bucket minimum, so
+    star pairs are already normalized). hot_fallback=False restores the
+    round-2 drop behavior.
     """
     banded = df.select(
         F.col(id_col).alias("id"),
         F.explode(minhash_band_buckets(F.col(text_col), num_hashes, bands, shingle)).alias("bucket"),
     )
-    sizes = banded.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
+    sizes = banded.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"),
+                                         F.min("id").alias("__rep"))
     ok = sizes.filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket)).select("bucket")
-    banded = banded.join(ok, on="bucket")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
+    normal = banded.join(ok, on="bucket")
+    a, b = normal.alias("a"), normal.alias("b")
+    pairs = (
         a.join(b, on="bucket")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    if hot_fallback:
+        hot = sizes.filter(F.col("__n") > max_bucket).select("bucket", "__rep")
+        star = (
+            banded.join(hot, on="bucket")
+            .filter(F.col("id") != F.col("__rep"))
+            .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def minhash_lsh_sql(table: str = "documents", id_col: str = "doc_id",
                     text_col: str = "text", num_hashes: int = 16, bands: int = 4,
                     shingle: int = 5, max_bucket: int = 1000) -> str:
-    """DuckDB twin of minhash_lsh_candidates (bit-identical pairs)."""
+    """DuckDB twin of minhash_lsh_candidates (bit-identical pairs), including
+    the hot-bucket star fallback."""
     bks = minhash_buckets_sql_expr(text_col, num_hashes, bands, shingle)
     return f"""
 WITH __b AS (
   SELECT {id_col} AS id, unnest({bks}) AS bucket FROM {table}),
-__ok AS (SELECT bucket FROM __b GROUP BY bucket HAVING count(*) BETWEEN 2 AND {max_bucket}),
-__f AS (SELECT __b.* FROM __b JOIN __ok USING (bucket))
-SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM __f a JOIN __f b USING (bucket) WHERE a.id < b.id
+__sz AS (SELECT bucket, count(*) AS n, min(id) AS rep FROM __b GROUP BY bucket),
+__f AS (SELECT __b.* FROM __b JOIN __sz USING (bucket)
+        WHERE n BETWEEN 2 AND {max_bucket}),
+__hot AS (SELECT __sz.rep, __b.id FROM __b JOIN __sz USING (bucket)
+          WHERE n > {max_bucket} AND __b.id != __sz.rep)
+SELECT DISTINCT id_a, id_b FROM (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM __f a JOIN __f b USING (bucket) WHERE a.id < b.id
+  UNION ALL
+  SELECT rep AS id_a, id AS id_b FROM __hot)
 """
 
 

@@ -67,20 +67,47 @@ def test_lsh_pairs_are_subset_of_exact(spark):
 
 
 @pytest.mark.spark
-def test_minhash_hot_bucket_cap(spark):
-    """Adversarial: 3000 identical docs would make one bucket emit ~4.5M
-    pairs without the cap; with it the degenerate bucket is dropped."""
-    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(3000)]
-    rows += [(10000 + i, f"unique document number {i} with distinct words {i * 7}")
+def test_minhash_hot_bucket_star_fallback(spark):
+    """Adversarial: 10k identical docs would make one bucket emit ~50M pairs
+    without the cap. With the star fallback the hot bucket emits LINEAR
+    (rep, member) pairs — bounded output AND full recall inside the bucket
+    (every duplicate stays connected to the representative)."""
+    n_dup = 10_000
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(n_dup)]
+    rows += [(100000 + i, f"unique document number {i} with distinct words {i * 7}")
              for i in range(50)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = D.minhash_lsh_candidates(docs, max_bucket=100)
-    assert pairs.count() < 100 * 100  # bounded output, no quadratic blowup
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # bounded: linear in the hot-bucket size, nowhere near quadratic
+    assert len(got) < 2 * n_dup
+    # nonzero recall inside the hot bucket: every dup links to the rep (min id)
+    star = {(a, b) for a, b in got if a == 0}
+    assert star == {(0, i) for i in range(1, n_dup)}
 
-    # with a big-enough cap, identical docs DO pair up (cap only guards skew)
-    small = spark.createDataFrame(rows[:20], "doc_id long, text string")
-    got = D.minhash_lsh_candidates(small, max_bucket=1000)
-    assert got.count() == 20 * 19 // 2
+    # DuckDB twin reproduces the exact same pair set (incl. the fallback)
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows[:500])
+        want = set(map(tuple, con.execute(
+            D.minhash_lsh_sql(max_bucket=100)).fetchall()))
+    finally:
+        con.close()
+    small = spark.createDataFrame(rows[:500], "doc_id long, text string")
+    got_small = {(r.id_a, r.id_b) for r in
+                 D.minhash_lsh_candidates(small, max_bucket=100).collect()}
+    assert got_small == want
+
+    # with a big-enough cap, identical docs DO pair up all-pairs
+    tiny = spark.createDataFrame(rows[:20], "doc_id long, text string")
+    assert D.minhash_lsh_candidates(tiny, max_bucket=1000).count() == 20 * 19 // 2
+
+    # round-2 behavior still available
+    dropped = D.minhash_lsh_candidates(docs, max_bucket=100, hot_fallback=False)
+    assert not any(r.id_a == 0 for r in dropped.collect())
 
 
 @pytest.mark.spark
