@@ -10,10 +10,23 @@ kIJtoPos / kPosToOrientation values.
 H3: an aperture-7 hexagonal hierarchical index on gnomonic icosahedron faces,
 following the published H3 design (icosahedral faces, sqrt(7) scaling with
 ~19.107 deg (atan(sqrt(3)/5)) Class-III rotation per resolution, cube-rounded
-axial coordinates). NOT bit-compatible with Uber H3's cell numbering (their
-base-cell tables aren't reproducible without the library, which this
-environment lacks); ids are deterministic, hierarchy-consistent, and serve
-the engine's bucketing/join use unchanged. Documented divergence.
+axial coordinates). NOT bit-compatible with Uber H3's cell numbering.
+Documented divergence, and exactly why it stays open in THIS sandbox: Uber
+bit-compatibility requires four published Apache-2.0 constant tables from
+h3lib (faceCenterPoint[20] + faceAxesAzRadsCII[20][3] for the canonical face
+frames, baseCellData[122] and faceIjkBaseCells[20][3][3][3] for the res-0
+cell numbering) plus the pentagon digit rules — none of which exist in this
+offline environment (no h3 package, no network, no vendored copy), and the
+~600 constants cannot be re-derived from first principles because the base
+cell numbering is an arbitrary published assignment. Reconstructing them
+from memory and "validating" against memorized test vectors would risk
+pinning a WRONG implementation as Uber-compatible — strictly worse than the
+documented divergence. Closure plan (when the tables are retrievable): slot
+a `h3_cell_uber(lat, lng, res)` twin behind the same `h3_cell` seam
+(identical signature/packing contract), keep this index as the default, and
+gate with latLngToCell known-value vectors from the h3 repo's test suite.
+Until then ids are deterministic, hierarchy-consistent, and serve the
+engine's bucketing/join use unchanged.
 
 Everything is exposed both as numpy kernels (for tests/oracles) and as
 Arrow-batched pandas UDF column builders (the only executor-side Python).

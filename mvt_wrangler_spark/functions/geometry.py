@@ -137,18 +137,26 @@ def segments_cross(ax, ay, bx, by, cx, cy, dx, dy):
 
 
 def geoms_intersect_polygon(gtypes: np.ndarray, xs_list, ys_list,
-                            poly: Polygon) -> np.ndarray:
+                            poly: Polygon, ring_lens_list=None) -> np.ndarray:
     """Exact geometry x polygon `intersects` for a batch of variable-length
-    features (Point / LineString / Polygon vertex arrays) — the general form
-    of the reference's feature_geom.intersects(filter_geom)
+    features (Point / LineString / Polygon vertex arrays, plus — when
+    ring_lens_list is given — holed polygons and Multi* parts) — the general
+    form of the reference's feature_geom.intersects(filter_geom)
     (/root/reference/src/transform.rs:130-143).
 
+    ring_lens_list[i] splits feature i's flat xs/ys into rings/parts (the
+    decode_tiles contract: exterior first, then holes / further parts);
+    None means one ring per feature (the round-2 behavior, unchanged).
+
     True iff: any feature vertex inside the filter polygon, OR any feature
-    segment crosses any filter ring edge, OR (polygon features) any filter
-    exterior vertex inside the feature ring (feature swallows filter).
-    Fully vectorized: vertices flattened once, per-row aggregation via
-    reduceat/bincount; the loops run over filter ring edges (a handful),
-    never over rows.
+    BOUNDARY segment (per ring — segments never span ring boundaries)
+    crosses any filter ring edge, OR (polygon-family features) any filter
+    exterior vertex lands inside the feature by the even-odd test over ALL
+    the feature's rings — which makes holes first-class: a filter polygon
+    entirely inside a feature's hole counts OUTSIDE (even crossings), so no
+    false hit, while one inside the shell is caught. Fully vectorized:
+    vertices flattened once, per-row aggregation via reduceat/bincount; the
+    loops run over filter ring edges (a handful), never over rows.
     """
     n = len(gtypes)
     if n == 0:
@@ -160,22 +168,37 @@ def geoms_intersect_polygon(gtypes: np.ndarray, xs_list, ys_list,
     fy = np.concatenate([np.asarray(v, np.float64) for v in ys_list])
     hit = np.zeros(n, dtype=bool)
 
+    # ring structure: ring -> feature map + per-ring vertex offsets
+    if ring_lens_list is None:
+        ring_feat = np.arange(n)
+        rlens = lens
+    else:
+        nr = np.fromiter(map(len, ring_lens_list), np.int64, n)
+        ring_feat = np.repeat(np.arange(n), nr)
+        rlens = np.fromiter((rl for rls in ring_lens_list for rl in rls),
+                            np.int64, int(nr.sum()))
+        if int(rlens.sum()) != len(fx):
+            raise ValueError("ring_lens must sum to the vertex count per feature")
+    roffs = np.zeros(len(rlens) + 1, np.int64)
+    np.cumsum(rlens, out=roffs[1:])
+
     # (1) any feature vertex inside the filter polygon
     vin = points_in_polygon(fx, fy, poly)
-    hit |= np.add.reduceat(vin, offs[:-1]) > 0
+    hit |= np.add.reduceat(vin, offs[:-1]) > 0 if len(fx) else False
 
-    # (2) feature segments: consecutive vertices + closing edge for polygons
-    is_poly = np.asarray([t == "Polygon" for t in gtypes])
+    # (2) feature segments: consecutive vertices within each RING + closing
+    # edge per polygon-family ring
+    is_poly = np.asarray([t in ("Polygon", "MultiPolygon") for t in gtypes])
     seg_mask = np.ones(len(fx), dtype=bool)
-    seg_mask[offs[1:] - 1] = False  # last vertex of each row starts no segment
+    seg_mask[roffs[1:] - 1] = False  # last vertex of each ring starts no segment
     idx = np.nonzero(seg_mask)[0]
-    close_rows = np.nonzero(is_poly & (lens >= 3))[0]
-    ax = np.concatenate([fx[idx], fx[offs[1:][close_rows] - 1]])
-    ay = np.concatenate([fy[idx], fy[offs[1:][close_rows] - 1]])
-    bx = np.concatenate([fx[idx + 1], fx[offs[:-1][close_rows]]])
-    by = np.concatenate([fy[idx + 1], fy[offs[:-1][close_rows]]])
+    close_rings = np.nonzero(is_poly[ring_feat] & (rlens >= 3))[0]
+    ax = np.concatenate([fx[idx], fx[roffs[1:][close_rings] - 1]])
+    ay = np.concatenate([fy[idx], fy[roffs[1:][close_rings] - 1]])
+    bx = np.concatenate([fx[idx + 1], fx[roffs[:-1][close_rings]]])
+    by = np.concatenate([fy[idx + 1], fy[roffs[:-1][close_rings]]])
     seg_row = np.concatenate([
-        np.repeat(np.arange(n), np.maximum(lens - 1, 0)), close_rows])
+        np.repeat(ring_feat, np.maximum(rlens - 1, 0)), ring_feat[close_rings]])
 
     if len(ax):
         cross = np.zeros(len(ax), dtype=bool)

@@ -94,24 +94,28 @@ def broadcast_pip_join(spark: SparkSession, points: DataFrame,
 
 def intersects_match_ids_column(spark: SparkSession,
                                 polygons: list[tuple[str, G.Polygon]],
-                                gtype: Column, xs: Column, ys: Column) -> Column:
+                                gtype: Column, xs: Column, ys: Column,
+                                ring_lens: Column | None = None) -> Column:
     """array<string> of polygon ids whose geometry intersects the feature.
 
     General form of the reference's exact-intersects refine
     (transform.rs:130-143) beyond points: features are (geom_type,
-    xs array, ys array) rows. Per polygon, a vectorized row-bbox pre-mask
-    rejects far rows (so 10^4 broadcast polygons cost one cheap compare
-    each per batch, not an exact kernel each), then the exact kernel runs
-    on the surviving subset only.
+    xs array, ys array[, ring_lens array]) rows — ring_lens splits the flat
+    vertex arrays into rings/parts (the decode_tiles contract), making holed
+    and Multi* FEATURE polygons exact. Per polygon, a vectorized row-bbox
+    pre-mask rejects far rows (so 10^4 broadcast polygons cost one cheap
+    compare each per batch, not an exact kernel each), then the exact kernel
+    runs on the surviving subset only.
     """
     payload = [(pid, p.exterior, list(p.holes), p.bbox) for pid, p in polygons]
     bc = spark.sparkContext.broadcast(payload)
 
-    @pandas_udf("array<string>")
-    def _match(t: pd.Series, xs_s: pd.Series, ys_s: pd.Series) -> pd.Series:
+    def _match_core(t: pd.Series, xs_s: pd.Series, ys_s: pd.Series,
+                    rl_s: pd.Series | None) -> pd.Series:
         gtypes = t.to_numpy(dtype=object)
         xsl = xs_s.to_numpy(dtype=object)
         ysl = ys_s.to_numpy(dtype=object)
+        rll = rl_s.to_numpy(dtype=object) if rl_s is not None else None
         n = len(gtypes)
         hits: list[list[str]] = [[] for _ in range(n)]
         if n:
@@ -130,10 +134,23 @@ def intersects_match_ids_column(spark: SparkSession,
                     continue
                 sub = np.nonzero(m)[0]
                 h = G.geoms_intersect_polygon(
-                    gtypes[sub], xsl[sub], ysl[sub], G.Polygon(ext, holes))
+                    gtypes[sub], xsl[sub], ysl[sub], G.Polygon(ext, holes),
+                    ring_lens_list=rll[sub] if rll is not None else None)
                 for j in sub[np.nonzero(h)[0]]:
                     hits[j].append(pid)
         return pd.Series(hits)
+
+    if ring_lens is not None:
+        @pandas_udf("array<string>")
+        def _match_rings(t: pd.Series, xs_s: pd.Series, ys_s: pd.Series,
+                         rl_s: pd.Series) -> pd.Series:
+            return _match_core(t, xs_s, ys_s, rl_s)
+
+        return _match_rings(gtype, xs, ys, ring_lens)
+
+    @pandas_udf("array<string>")
+    def _match(t: pd.Series, xs_s: pd.Series, ys_s: pd.Series) -> pd.Series:
+        return _match_core(t, xs_s, ys_s, None)
 
     return _match(gtype, xs, ys)
 
@@ -142,13 +159,16 @@ def broadcast_intersects_join(spark: SparkSession, feats: DataFrame,
                               polygons: list[tuple[str, G.Polygon]],
                               type_col: str = "geom_type", xs_col: str = "xs",
                               ys_col: str = "ys", out_col: str = "admin_id",
-                              how: str = "inner") -> DataFrame:
+                              how: str = "inner",
+                              ring_lens_col: str | None = None) -> DataFrame:
     """One output row per (feature, intersecting polygon) — the J2 exact
-    geometry x geometry join generalized to line/polygon features."""
+    geometry x geometry join generalized to line/polygon features, and (with
+    ring_lens_col) to holed / multi-part feature polygons."""
     matched = feats.withColumn(
         "__admins",
-        intersects_match_ids_column(spark, polygons, F.col(type_col),
-                                    F.col(xs_col), F.col(ys_col)),
+        intersects_match_ids_column(
+            spark, polygons, F.col(type_col), F.col(xs_col), F.col(ys_col),
+            ring_lens=F.col(ring_lens_col) if ring_lens_col else None),
     )
     exploder = F.explode if how == "inner" else F.explode_outer
     return matched.withColumn(out_col, exploder("__admins")).drop("__admins")
