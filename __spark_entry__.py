@@ -56,6 +56,37 @@ def q_tile_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S3 in the gate: points -> assign -> REAL MVT blob encode ->
+    vectorized mapInArrow decode -> values. The oracle restates the input,
+    so any write- or read-path corruption (dictionary codes, varint bytes,
+    geometry stream, tag rebuild) breaks the hash.
+
+    px/py pre-round with floor(+0.5) so the encoder's np.rint sees
+    integer-valued doubles (rint is half-EVEN; floor(+0.5) is the one
+    formulation both engines state identically)."""
+    from mvt_wrangler_spark.functions import tiling
+    from mvt_wrangler_spark.operators import tile_encode as TE
+
+    # synthetic lineitem has duplicate (orderkey, linenumber) keys -> id
+    # collisions; full-row distinct is deterministic (dup rows identical)
+    pts = _points(spark, sf_dir).distinct()
+    a = tiling.assign_tiles(pts, z=Z, with_local=True)
+    a = a.select(
+        F.col("id").alias("image_id"), "z", "x", "y", "tile_id", "layer",
+        F.create_map(F.lit("kind"), F.col("kind")).alias("tags"),
+        F.floor(F.col("px") + 0.5).cast("double").alias("px"),
+        F.floor(F.col("py") + 0.5).cast("double").alias("py"),
+    )
+    dec = TE.decode_tiles(TE.encode_tiles(a))
+    return dec.select(
+        F.col("feature_id").alias("id"), "z", "x", "y", "layer",
+        F.element_at("pxs", 1).alias("px"),
+        F.element_at("pys", 1).alias("py"),
+        F.element_at("tags", F.lit("kind")).alias("kind"),
+    )
+
+
 def q_pyramid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvt_wrangler_spark.functions import tiling
     from mvt_wrangler_spark.operators import rollup as R
@@ -502,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "tile_assign_multi": q_tile_assign_multi,
         "tile_local": q_tile_local,
+        "archive_roundtrip": q_archive_roundtrip,
         "pyramid_rollup": q_pyramid_rollup,
         "tile_stats_salted": q_tile_stats_salted,
         "pip_join": q_pip_join,
@@ -570,6 +602,21 @@ def oracle_sql() -> dict[str, str]:
        ((CAST(1 AS BIGINT) << (2 * zz.z)) - 1) // 3 + (d >> (2 * ({Z} - zz.z))) AS tile_id
 FROM {last}, generate_series(4, {Z}) zz(z)"""
     )
+
+    # archive_roundtrip: encode->decode must reproduce the (distinct) input —
+    # the oracle restates it (same floor(+0.5) pre-round, transcendental
+    # 1-ulp floor-boundary risk shared with tile_assign's tile_y)
+    pts_d = f"__pts AS (SELECT DISTINCT * FROM ({POINTS_SQL}))"
+    xy_l = (f"__xy AS (SELECT id, layer, lon, lat, kind, CAST({Z} AS INT) AS z, "
+            f"{tile_x_sql('lon', Z)} AS x, {tile_y_sql('lat', Z)} AS y FROM __pts)")
+    archive_roundtrip = f"""
+WITH {pts_d}, {xy_l}
+SELECT id, z, x, y, layer,
+       CAST(floor(({frac_tile_x_sql('lon', Z)} - x) * 4096.0 + 0.5) AS DOUBLE) AS px,
+       CAST(floor(({frac_tile_y_sql('lat', Z)} - y) * 4096.0 + 0.5) AS DOUBLE) AS py,
+       kind
+FROM __xy
+"""
 
     tile_local = f"""
 WITH {pts}, {xy}
@@ -874,6 +921,7 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "topk_events": topk_events,
         "embed_neardup": embed_neardup,
         "tile_local": tile_local,
+        "archive_roundtrip": archive_roundtrip,
         "pyramid_rollup": pyramid,
         "tile_stats_salted": tile_stats,
         "pip_join": pip_join,
