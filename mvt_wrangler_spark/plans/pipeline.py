@@ -85,10 +85,17 @@ def run_pipeline(
     # dedup_mode="window" keeps the full surviving rows (required by the
     # archive sink); "agg" shuffles only the group keys + keeper id + per-
     # group byte stats (map-side combined, ~5 narrow columns instead of every
-    # column) — the right choice when downstream needs keepers/stats only.
-    # At 10^12 rows the window variant's shuffle carries the image bytes.
+    # column); "packed" — the FLAGSHIP shape for keeper-only consumers at
+    # 10^12 rows — further folds the 4-column group key into one long and
+    # keeps the keeper numeric (phash_dedup_packed: +11% at both parallelism
+    # levels, BENCH/BASELINE.md), exact while phash fits 63-2z bits.
     if not dedup:
         deduped = survivors
+    elif dedup_mode == "packed":
+        extra = {}
+        if "bytes" in survivors.columns:
+            extra["bytes_in"] = F.sum(F.coalesce(F.length("bytes"), F.lit(0)))
+        deduped = D.phash_dedup_packed(survivors, z=z, extra_aggs=extra)
     elif dedup_mode == "agg":
         extra = {}
         if "bytes" in survivors.columns:
@@ -97,7 +104,7 @@ def run_pipeline(
     else:
         deduped = D.phash_dedup(survivors)
 
-    salt_col = "phash" if dedup and dedup_mode == "agg" else "image_id"
+    salt_col = "phash" if dedup and dedup_mode in ("agg", "packed") else "image_id"
     stats = R.tile_stats(deduped, n_salt=n_salt, salt_col=salt_col)
     pyramid = R.pyramid_rollup(
         stats.select("z", "x", "y", "n_rows", "bytes_in"), base_z=z, min_z=min_z

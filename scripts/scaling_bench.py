@@ -107,29 +107,47 @@ def main():
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     t0 = time.time()
     path = generate(n_rows)
+    # tiny twin (1% of rows): same plan, ~fixed overhead + 1% of the work —
+    # lets us solve per-(mode, master) fixed overhead o from
+    #   t_full = o + W ;  t_tiny = o + 0.01 W
+    # and report the overhead-CORRECTED efficiency ((t8-o8)/(t32-o32))/4
+    # alongside the raw one (VERDICT r2 item 3).
+    n_tiny = max(n_rows // 100, 100_000)
+    tiny_path = generate(n_tiny)
     print(f"data ready in {time.time()-t0:.0f}s: {path}", file=sys.stderr)
 
-    payload = {"n_rows": n_rows, "scenarios": {}}
+    payload = {"n_rows": n_rows, "n_tiny": n_tiny, "scenarios": {}}
     for mode, desc in (
         ("full", "assign(z10) + PIP mask + feature/tag filter + H3/S2 encode + phash dedup agg"),
-        ("full_packed", "full with packed single-long group key + numeric keeper + single payload agg (narrow shuffle rows)"),
+        ("full_packed", "FLAGSHIP: full with phash_dedup_packed (single-long group key + numeric keeper + single payload agg — narrow shuffle rows)"),
         ("compute", "same minus high-cardinality dedup (per-tile stats agg instead)"),
     ):
         results = {}
         for master, ncpus in (("local[8]", 8), ("local[32]", 32)):
             r = measure(master, ncpus, path, mode=mode)
             med = statistics.median(x["sec"] for x in r["runs"])
+            rt = measure(master, ncpus, tiny_path, n_runs=4, mode=mode)
+            med_t = statistics.median(x["sec"] for x in rt["runs"])
+            frac = n_tiny / n_rows
+            work = max((med - med_t) / (1.0 - frac), 1e-9)
+            overhead = max(med - work, 0.0)
             results[master] = {
                 "median_sec": med,
+                "tiny_median_sec": med_t,
+                "fixed_overhead_sec": round(overhead, 3),
+                "work_sec": round(work, 3),
                 "rows_per_sec": round(n_rows / med, 1),
                 "runs": r["runs"],
             }
             print(mode, master, results[master], file=sys.stderr)
         eff = results["local[32]"]["rows_per_sec"] / results["local[8]"]["rows_per_sec"] / 4.0
+        eff_corr = (results["local[8]"]["work_sec"]
+                    / results["local[32]"]["work_sec"]) / 4.0
         payload["scenarios"][mode] = {
             "pipeline": desc,
             "results": results,
             "scaling_efficiency_8_to_32": round(eff, 3),
+            "scaling_efficiency_overhead_corrected": round(eff_corr, 3),
         }
     with open("/root/repo/BENCH/scaling.json", "w") as f:
         json.dump(payload, f, indent=2)

@@ -52,24 +52,19 @@ def main():
             "s2_cell", C.s2_cell_column(F.col("lat"), F.col("lon"), level=12)
         ).withColumn("h3_cell", C.h3_cell_column(F.col("lat"), F.col("lon"), res=7))
         if mode == "full_packed":
-            # same work as "full" but with the shuffle rows packed narrow:
-            # the 4-col group key folds into ONE long (x,y < 2^10 at z10 and
-            # phash < 2^25 here — domains known, packing exact), the keeper
-            # id string's numeric suffix replaces the 15-byte string min, and
-            # the three consume-everything aggregates fold into one bounded
+            # FLAGSHIP dedup shape (adopted round 3 — the library operator,
+            # not inline code): same work as "full" but with the shuffle rows
+            # packed narrow — 4-col group key folded into ONE long, numeric
+            # keeper (image_id's fixed-width suffix: numeric min == string
+            # min), consume-everything aggregates folded into one bounded
             # payload sum. High-cardinality agg cost is memory-bus-bound
             # (BENCH/BASELINE.md), so bytes-per-shuffle-row is the lever.
-            gk = (F.shiftleft(F.col("x"), 45)
-                  .bitwiseOR(F.shiftleft(F.col("y"), 35))
-                  .bitwiseOR(F.col("phash")))
-            idn = F.substring("image_id", 4, 12).cast("long")
             payload = (F.size("tags") + F.pmod(F.col("h3_cell"), F.lit(65536))
                        + F.pmod(F.col("s2_cell"), F.lit(65536)))
-            out = assigned.select(gk.alias("gk"), idn.alias("idn"),
-                                  payload.alias("pl")).groupBy("gk").agg(
-                F.min("idn").alias("keeper"),
-                F.count(F.lit(1)).alias("n_dups"),
-                F.sum("pl").alias("pl"))
+            out = D.phash_dedup_packed(
+                assigned, z=10,
+                order_num=F.substring("image_id", 4, 12).cast("long"),
+                extra_aggs={"pl": F.sum(payload)})
             rows_out = out.count()
         elif mode == "full":
             # agg-based dedup: map-side combine, narrow shuffle rows; the
