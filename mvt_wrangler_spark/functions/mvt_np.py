@@ -367,7 +367,10 @@ def flatten_scalar(blobs) -> dict:
                 gk_idx.extend(kbase + c for c in tg[0::2])
                 gv_idx.extend(vbase + c for c in tg[1::2])
                 tag_counts.append(len(tg) >> 1)
-                fid.append(f["id"] or 0)
+                # MVT ids are uint64; the output column is int64 — wrap ids
+                # >= 2^63 two's-complement style (what a JVM long would hold)
+                v = (f["id"] or 0) & ((1 << 64) - 1)
+                fid.append(v - (1 << 64) if v >= 1 << 63 else v)
                 fid_has.append(f["id"] is not None)
                 rl = f["ring_lens"]
                 nv = sum(rl)

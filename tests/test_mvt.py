@@ -299,3 +299,40 @@ def test_property_multiring_roundtrip_and_vectorized_parity():
                 assert list(va) == list(vb), k
 
     check()
+
+
+def test_vectorized_fallback_on_64bit_ids():
+    """Feature ids >= 2^63 (10-byte varints) are outside the vectorized
+    parser's contract: flatten_np raises VarintFallback, the scalar twin
+    handles them (two's-complement into the int64 column)."""
+    import gzip
+
+    from mvt_wrangler_spark.functions import mvt_np
+
+    big = mvt.encode_feature((1 << 63) + 5, [], mvt.point_geometry(0, 0), 1)
+    blob = gzip.compress(mvt.encode_tile([mvt.encode_layer("l", [], [], [big])]),
+                         6, mtime=0)
+    import pytest as _pytest
+
+    with _pytest.raises(mvt_np.VarintFallback):
+        mvt_np.flatten_np([blob])
+    s = mvt_np.flatten_scalar([blob])
+    assert s["fid"][0] == (1 << 63) + 5 - (1 << 64) and s["fid_has"][0]
+
+    # empty batch / empty layer / bare feature parity
+    assert len(mvt_np.flatten_np([])["feat_tile"]) == 0
+    empty = gzip.compress(mvt.encode_tile([mvt.encode_layer("e", [], [], [])]),
+                          6, mtime=0)
+    bare = gzip.compress(mvt.encode_tile(
+        [mvt.encode_layer("l", [], [], [mvt.encode_feature(None, [], mvt.point_geometry(0, 0), 1)])]),
+        6, mtime=0)
+    import numpy as np
+
+    a = mvt_np.flatten_np([empty, bare])
+    b = mvt_np.flatten_scalar([empty, bare])
+    for k in a:
+        va, vb = a[k], b[k]
+        if isinstance(va, np.ndarray):
+            assert np.array_equal(va, vb), k
+        else:
+            assert list(va) == list(vb), k
