@@ -516,6 +516,60 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_b", 6).alias("mean_b"))
 
 
+def q_thumb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail generation value-checked end to end: algebraic-formula images
+    are encoded to real bytes (raw/rawz/qlossy), the engine decodes, box-
+    downsamples 4x in exact integer arithmetic, re-encodes the thumbnail
+    (rawz), and the check decodes those thumbnail BYTES back into per-image
+    channel means + a position-weighted fingerprint over every thumbnail
+    pixel. The oracle brute-forces the same block-sum // 16 pooling (with the
+    lossy quantization model) in SQL — so decode, pooling, and the thumbnail
+    codec round-trip all sit under the driver's value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from mvt_wrangler_spark.operators import multimodal as M
+    from mvt_wrangler_spark.sources import images as I
+
+    W, H, FCT = 24, 16, 4
+    ids = _points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(41)) == 5).distinct()
+
+    def gen(pdfs):
+        fmts = ["raw", "rawz", "qlossy"]
+        for pdf in pdfs:
+            rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
+                px = ((int(i) * 31 + yy * 7 + xx * 13 + cc * 5) % 256).astype(np.uint8)
+                fmt = fmts[int(i) % 3]
+                rows["image_id"].append(str(int(i)))
+                rows["bytes"].append(I.encode(px, fmt))
+                rows["fmt"].append(fmt)
+                rows["w"].append(W)
+                rows["h"].append(H)
+            yield pd.DataFrame(rows)
+
+    imgs = ids.mapInPandas(gen, "image_id string, bytes binary, fmt string, w int, h int")
+    thumbs = M.thumbnail(imgs, factor=FCT, out_fmt="rawz")
+
+    def stats(pdfs):
+        n_blk = (H // FCT) * (W // FCT)
+        for pdf in pdfs:
+            rows = {"id": [], "mean_r": [], "mean_g": [], "mean_b": [], "fp": []}
+            for row in pdf.itertuples(index=False):
+                t = I.decode(bytes(row.thumb), row.fmt, row.tw, row.th).astype(np.int64)
+                zy, zx, cc = np.mgrid[0: row.th, 0: row.tw, 0:3]
+                fp = int((t * (zy * 29 + zx * 13 + cc * 7 + 1)).sum() % 2147483647)
+                rows["id"].append(int(row.image_id))
+                for col, c in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
+                    rows[col].append(round(float(t[:, :, c].sum()) / n_blk, 6))
+                rows["fp"].append(fp)
+            yield pd.DataFrame(rows)
+
+    return thumbs.mapInPandas(
+        stats, "id long, mean_r double, mean_g double, mean_b double, fp long")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling position-weighted fingerprint mod 2^31-1 (SQL-foldable)."""
     from mvt_wrangler_spark.operators import text as T
@@ -560,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "zonal_stats": q_zonal_stats,
+        "thumb_stats": q_thumb_stats,
         "tile_encode": q_tile_encode,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -871,6 +926,30 @@ SELECT id, CAST(zone AS INT) AS zone, CAST(count(*) AS BIGINT) AS n_px,
 FROM __px GROUP BY 1, 2
 """
 
+    # thumbnail: brute-force the same pixel formula, then the exact integer
+    # box pooling (4x4 block SUM // 16) and the position-weighted fingerprint
+    # the Spark side computes from the DECODED thumbnail bytes
+    thumb = f"""
+WITH __pts AS ({POINTS_SQL}),
+__ids AS (SELECT DISTINCT id, CAST(id % 3 AS INT) AS fsel FROM __pts WHERE id % 41 = 5),
+__px AS (
+  SELECT id, i.i AS i, j.j AS j, c.c AS c,
+         CASE WHEN fsel = 2
+              THEN ((id*31 + i.i*7 + j.j*13 + c.c*5) % 256) // 4 * 4 + 2
+              ELSE (id*31 + i.i*7 + j.j*13 + c.c*5) % 256 END AS v
+  FROM __ids, generate_series(0, 15) i(i), generate_series(0, 23) j(j),
+       generate_series(0, 2) c(c)),
+__blk AS (
+  SELECT id, i // 4 AS zy, j // 4 AS zx, c, CAST(sum(v) // 16 AS BIGINT) AS tv
+  FROM __px GROUP BY 1, 2, 3, 4)
+SELECT id,
+       round(CAST(sum(CASE WHEN c = 0 THEN tv ELSE 0 END) AS DOUBLE) / 24, 6) AS mean_r,
+       round(CAST(sum(CASE WHEN c = 1 THEN tv ELSE 0 END) AS DOUBLE) / 24, 6) AS mean_g,
+       round(CAST(sum(CASE WHEN c = 2 THEN tv ELSE 0 END) AS DOUBLE) / 24, 6) AS mean_b,
+       CAST(sum(tv * (zy*29 + zx*13 + c*7 + 1)) % 2147483647 AS BIGINT) AS fp
+FROM __blk GROUP BY 1
+"""
+
     doc_fp = """
 WITH c AS (
   SELECT doc_id,
@@ -940,4 +1019,5 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "ann_topk": ann,
         "ann_topk_lsh": ann_lsh,
         "zonal_stats": zonal,
+        "thumb_stats": thumb,
     }

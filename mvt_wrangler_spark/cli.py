@@ -4,7 +4,8 @@ Reference: mvt-wrangler <in.pmtiles> <out.pmtiles> [--filter f.geojson]
 [-n name] [-N description] [-A attribution]   (/root/reference/src/lib.rs:12-37)
 
 Here: the archive is a snapshot table of image rows; the run is
-  spark-submit --py-files mvt_wrangler_spark.zip -m mvt_wrangler_spark.cli \
+  spark-submit --master <...> --py-files mvt_wrangler_spark.zip \
+      scripts/submit_job.py \
       <in_table.parquet|snapshot-root> <out-root> [--filter f.geojson] \
       [--zoom Z] [--min-zoom 0] [--buckets 16] [--job-id J] \
       [--pmtiles out.pmtiles] [-n NAME] [-N DESC] [-A ATTR]

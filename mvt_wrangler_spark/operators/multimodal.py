@@ -70,3 +70,55 @@ def sample_frames(media_df: DataFrame, every_ms: int = 1000, fps: float = 30.0,
             yield pd.DataFrame(out)
 
     return media_df.select("media_id", "duration_ms").mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)
+
+
+THUMB_SCHEMA = "image_id string, thumb binary, tw int, th int, fmt string"
+
+
+def thumbnail(images_df: DataFrame, factor: int = 4, out_fmt: str = "rawz") -> DataFrame:
+    """Thumbnail generation: decode -> exact integer box-downsample -> encode.
+
+    The resize step a 10^12-image training pipeline runs on every row,
+    expressed as one mapInPandas pass (Arrow batches; the per-image body is
+    pure numpy — no per-pixel Python). Downsampling is an EXACT f x f box
+    filter in integer arithmetic (block sum // f^2), so the result is
+    bit-deterministic across engines and SQL-restatable for the contract
+    oracle (q_thumb_stats). Images whose dimensions are not multiples of
+    `factor` are cropped to the largest covered grid (floor(h/f)*f rows /
+    cols) before pooling — the convention real pipelines use for patch grids.
+
+    Codecs are the environment's raw/rawz/qlossy stand-ins (sources/images.py;
+    no PIL/ffmpeg here) — swapping a real JPEG decode/encode into
+    images.decode/encode changes nothing Spark-side. Output rows carry real
+    re-encoded bytes, so downstream consumers (dedup, zonal, serving) read
+    thumbnails exactly like originals.
+    """
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    from ..sources import images as I
+
+    def _thumb(pdfs):
+        for pdf in pdfs:
+            out = {k: [] for k in ("image_id", "thumb", "tw", "th", "fmt")}
+            for row in pdf.itertuples(index=False):
+                if row.bytes is None:
+                    continue
+                px = I.decode(bytes(row.bytes), row.fmt, row.w, row.h)
+                th, tw = row.h // factor, row.w // factor
+                if th == 0 or tw == 0:
+                    continue  # smaller than one block: no thumbnail
+                block = px[: th * factor, : tw * factor, :].astype(np.int64)
+                pooled = (
+                    block.reshape(th, factor, tw, factor, 3)
+                    .sum(axis=(1, 3)) // (factor * factor)
+                ).astype(np.uint8)
+                out["image_id"].append(row.image_id)
+                out["thumb"].append(I.encode(pooled, out_fmt))
+                out["tw"].append(tw)
+                out["th"].append(th)
+                out["fmt"].append(out_fmt)
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "fmt", "w", "h"]
+    return images_df.select(*cols).mapInPandas(_thumb, THUMB_SCHEMA)

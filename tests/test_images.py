@@ -71,3 +71,44 @@ def test_synthetic_images_spark(spark):
         else:
             assert np.array_equal(px, dec)
         assert r.caption.startswith(f"caption of img{i:09d}:")
+
+
+def test_thumbnail_pooling_exact_numpy():
+    """The operator's pooling contract: exact integer box filter, crop to the
+    covered grid, lossless rawz round-trip of the emitted bytes."""
+    from mvt_wrangler_spark.operators.multimodal import thumbnail  # noqa: F401  (op under test below)
+
+    px = I.pixels_for(42, 26, 19)  # 26x19, NOT multiples of 4 -> crop to 24x16
+    f = 4
+    th, tw = 19 // f, 26 // f
+    block = px[: th * f, : tw * f, :].astype(np.int64)
+    pooled = (block.reshape(th, f, tw, f, 3).sum(axis=(1, 3)) // (f * f)).astype(np.uint8)
+    # brute-force the same thing pixel by pixel
+    for zy in (0, th - 1):
+        for zx in (0, tw - 1):
+            for c in range(3):
+                blk = px[zy * f:(zy + 1) * f, zx * f:(zx + 1) * f, c].astype(np.int64)
+                assert pooled[zy, zx, c] == blk.sum() // (f * f)
+
+
+@pytest.mark.spark
+def test_thumbnail_spark_end_to_end(spark):
+    from mvt_wrangler_spark.operators.multimodal import thumbnail
+
+    df = I.synthetic_images(spark, 120, with_pixels=True, partitions=3)
+    out = {r.image_id: r for r in thumbnail(df, factor=4, out_fmt="rawz").collect()}
+    src = {r.image_id: r for r in df.collect()}
+    assert set(out) == {k for k, r in src.items() if r.w >= 4 and r.h >= 4}
+    for k, r in out.items():
+        s = src[k]
+        assert (r.tw, r.th) == (s.w // 4, s.h // 4)
+        t = I.decode(bytes(r.thumb), r.fmt, r.tw, r.th)
+        px = I.decode(bytes(s.bytes), s.fmt, s.w, s.h).astype(np.int64)
+        block = px[: r.th * 4, : r.tw * 4, :]
+        expect = (block.reshape(r.th, 4, r.tw, 4, 3).sum(axis=(1, 3)) // 16).astype(np.uint8)
+        assert np.array_equal(t, expect)
+    # dedup property: exact-duplicate source rows produce identical thumbnails
+    for i in range(17, 120, 17):
+        a, b = f"img{i:09d}", f"img{i - 1:09d}"
+        if a in out and b in out and src[a].fmt == src[b].fmt:
+            assert bytes(out[a].thumb) == bytes(out[b].thumb)
