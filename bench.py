@@ -72,7 +72,7 @@ def main() -> None:
         "intersects_join", "knn_join", "phash_dedup", "pipeline_e2e",
         "tag_filter", "events_window", "text_stats", "ann_topk",
         "ann_topk_lsh", "minhash_lsh", "cell_encode", "tile_encode",
-        "embed_neardup_lsh", "simhash",
+        "embed_neardup_lsh", "simhash", "thumb_stats",
     ]
     for name in bench_set:
         t0 = time.time()
@@ -92,18 +92,28 @@ def main() -> None:
         "flagship_sec": round(dt, 3),
     }
 
-    # attach the latest N-vs-4N evidence (scripts/scaling_bench.py output)
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "BENCH", "scaling.json")
-    if os.path.exists(scaling_path):
+    # attach the latest N-vs-4N evidence: prefer the cross-session pooled
+    # figures (scripts/pool_scaling.py over BENCH/sessions/*.json — the honest
+    # protocol, no run selection), fall back to the last single session
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    for fname, key in (("scaling_pooled.json", "pooled_median_sec"),
+                       ("scaling.json", "median_sec")):
+        scaling_path = os.path.join(bench_dir, fname)
+        if not os.path.exists(scaling_path):
+            continue
         with open(scaling_path) as f:
             sc = json.load(f)
         result["scaling_evidence"] = {
             m: {"efficiency_8_to_32": s["scaling_efficiency_8_to_32"],
-                "rows_per_sec": {k: v["rows_per_sec"] for k, v in s["results"].items()}}
+                "efficiency_overhead_corrected":
+                    s.get("scaling_efficiency_overhead_corrected"),
+                "rows_per_sec": {k: v["rows_per_sec"] for k, v in s["results"].items()},
+                "median_sec": {k: v[key] for k, v in s["results"].items()}}
             for m, s in sc.get("scenarios", {}).items()
         }
         result["scaling_n_rows"] = sc.get("n_rows")
+        result["scaling_source"] = fname
+        break
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         spark.stop()

@@ -124,7 +124,10 @@ def main():
     ):
         results = {}
         for master, ncpus in (("local[8]", 8), ("local[32]", 32)):
-            r = measure(master, ncpus, path, mode=mode)
+            # fresh local[32] JVMs can need 4+ runs to JIT-settle (round-2
+            # observation) — give the wide session more headroom
+            r = measure(master, ncpus, path, mode=mode,
+                        n_runs=8 if ncpus == 32 else 5)
             med = statistics.median(x["sec"] for x in r["runs"])
             rt = measure(master, ncpus, tiny_path, n_runs=4, mode=mode)
             med_t = statistics.median(x["sec"] for x in rt["runs"])
