@@ -570,6 +570,26 @@ def q_thumb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats, "id long, mean_r double, mean_g double, mean_b double, fp long")
 
 
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup by phash hamming banding, value-checked bit-for-bit:
+    synthesize 62-bit phashes in pure integer column math (cluster base =
+    two mod-P halves packed nonneg; each member XOR-flips one id-derived
+    bit, so same-cluster pairs sit at hamming 2), then run the lossless
+    band-join + popcount refine. The oracle restates bands, join, star
+    fallback, and refine in SQL (phash_hamming_sql)."""
+    from mvt_wrangler_spark.operators.dedup import GOLD, P31, phash_hamming_pairs
+
+    ids = (_points(spark, sf_dir).select("id")
+           .filter(F.pmod("id", F.lit(5)) < 2).distinct())
+    c = F.expr("id div 5")
+    h1 = F.pmod(c * F.lit(GOLD) + 11, F.lit(P31))
+    h2 = F.pmod(c * F.lit(1779033703) + 7, F.lit(P31))
+    flip = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 62 AS INT))")
+    ph = ids.select("id", (h1 * F.lit(2 ** 31) + h2).bitwiseXOR(flip).alias("phash"))
+    return phash_hamming_pairs(ph, id_col="id", phash_col="phash",
+                               k=3, bands=4, max_bucket=1000)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling position-weighted fingerprint mod 2^31-1 (SQL-foldable)."""
     from mvt_wrangler_spark.operators import text as T
@@ -615,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "zonal_stats": q_zonal_stats,
         "thumb_stats": q_thumb_stats,
+        "phash_neardup": q_phash_neardup,
         "tile_encode": q_tile_encode,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -950,6 +971,19 @@ SELECT id,
 FROM __blk GROUP BY 1
 """
 
+    # phash near-dup: same integer phash synthesis, then the band/join/refine
+    # restated by phash_hamming_sql — bit-identical candidate and refine path
+    from mvt_wrangler_spark.operators.dedup import phash_hamming_sql
+
+    phash_nd_src = f"""WITH __pts AS ({POINTS_SQL}),
+__ids AS (SELECT DISTINCT id FROM __pts WHERE id % 5 < 2)
+SELECT id,
+       xor((((id // 5) * 2654435761 + 11) % 2147483647) * 2147483648
+           + (((id // 5) * 1779033703 + 7) % 2147483647),
+           CAST(1 AS BIGINT) << CAST(id % 62 AS INT)) AS phash
+FROM __ids"""
+    phash_neardup = phash_hamming_sql(phash_nd_src, k=3, bands=4, max_bucket=1000)
+
     doc_fp = """
 WITH c AS (
   SELECT doc_id,
@@ -1020,4 +1054,5 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "ann_topk_lsh": ann_lsh,
         "zonal_stats": zonal,
         "thumb_stats": thumb,
+        "phash_neardup": phash_neardup,
     }

@@ -493,3 +493,103 @@ __s AS (SELECT id_a, id_b,
         FROM __c)
 SELECT id_a, id_b FROM __s WHERE s > 0 AND s * s * {cos_den} > {cos_num} * na * nb
 """
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup: perceptual-hash hamming banding (images table phash column)
+# ---------------------------------------------------------------------------
+
+def phash_hamming_pairs(df: DataFrame, id_col: str = "image_id",
+                        phash_col: str = "phash", k: int = 3, bands: int = 4,
+                        max_bucket: int = 1000, hot_fallback: bool = True) -> DataFrame:
+    """Near-duplicate image pairs by 64-bit perceptual-hash hamming distance.
+
+    The image twin of minhash_lsh_candidates: web-scale image dedup keys on
+    pHash hamming <= k (re-encodes/resizes perturb a few bits), not exact
+    equality (exact_dedup / phash_dedup cover that). Reference scope: the
+    per-tile phash dedup of the north rule generalized to cross-variant
+    near-duplicates.
+
+    Banding guarantee (pigeonhole): split the 64-bit phash into `bands`
+    disjoint bit-bands; any pair with hamming distance k < bands agrees
+    EXACTLY on at least one band, so the band equi-join is a LOSSLESS
+    candidate generator — no recall loss, unlike probabilistic LSH. Shuffle
+    is linear in rows (bands copies); per-bucket pair output is capped at
+    max_bucket^2, with the hot-bucket star fallback (identical-phash cliques
+    at web scale) emitting O(B) representative pairs instead of O(B^2).
+    Candidates are then refined with an exact popcount: every emitted pair
+    satisfies bit_count(a XOR b) <= k whichever candidate path found it.
+
+    Input must be unique per id (pre-aggregate otherwise). Output:
+    (id_a, id_b, hamming), id_a < id_b, distinct.
+    """
+    if not 1 <= k < bands:
+        raise ValueError(f"banding guarantee needs 1 <= k < bands, got k={k} bands={bands}")
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    # arithmetic shift + mask == unsigned bit extraction, and restates 1:1 in
+    # SQL (phash_hamming_sql) for signed phash values
+    buckets = F.array(*[
+        (F.shiftright(F.col(phash_col), i * width).bitwiseAND(F.lit(mask))
+         + F.lit(i * (mask + 1))).cast("long")
+        for i in range(bands)
+    ])
+    banded = df.select(F.col(id_col).alias("id"), F.col(phash_col).alias("ph"),
+                       F.explode(buckets).alias("bucket"))
+    sizes = banded.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("id").alias("__rep"),
+        F.min_by("ph", "id").alias("__rep_ph"))
+    ok = sizes.filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket)).select("bucket")
+    normal = banded.join(ok, on="bucket")
+    a, b = normal.alias("a"), normal.alias("b")
+    cand = (
+        a.join(b, on="bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("a.ph").alias("ph_a"),
+                F.col("b.id").alias("id_b"), F.col("b.ph").alias("ph_b"))
+    )
+    if hot_fallback:
+        hot = sizes.filter(F.col("__n") > max_bucket)
+        star = (
+            banded.join(hot, on="bucket")
+            .filter(F.col("id") != F.col("__rep"))
+            .select(F.col("__rep").alias("id_a"), F.col("__rep_ph").alias("ph_a"),
+                    F.col("id").alias("id_b"), F.col("ph").alias("ph_b"))
+        )
+        cand = cand.unionByName(star)
+    return (
+        cand.distinct()
+        .withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .filter(F.col("hamming") <= k)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def phash_hamming_sql(src: str, k: int = 3, bands: int = 4,
+                      max_bucket: int = 1000) -> str:
+    """DuckDB twin of phash_hamming_pairs over `src`, a CTE/subquery yielding
+    (id, phash). Bit-identical band buckets, join, star fallback, refine."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_exprs = ", ".join(
+        f"((phash >> {i * width}) & {mask}) + {i * (mask + 1)}" for i in range(bands))
+    return f"""
+WITH __in AS ({src}),
+__b AS (SELECT id, phash AS ph, unnest([{band_exprs}]) AS bucket FROM __in),
+__sz AS (SELECT bucket, count(*) AS n, min(id) AS rep, arg_min(ph, id) AS rep_ph
+         FROM __b GROUP BY bucket),
+__f AS (SELECT __b.* FROM __b JOIN __sz USING (bucket)
+        WHERE n BETWEEN 2 AND {max_bucket}),
+__cand AS (
+  SELECT DISTINCT id_a, ph_a, id_b, ph_b FROM (
+    SELECT a.id AS id_a, a.ph AS ph_a, b.id AS id_b, b.ph AS ph_b
+    FROM __f a JOIN __f b USING (bucket) WHERE a.id < b.id
+    UNION ALL
+    SELECT __sz.rep, __sz.rep_ph, __b.id, __b.ph
+    FROM __b JOIN __sz USING (bucket)
+    WHERE n > {max_bucket} AND __b.id != __sz.rep))
+SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+FROM __cand WHERE bit_count(xor(ph_a, ph_b)) <= {k}
+"""

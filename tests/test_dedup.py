@@ -258,3 +258,60 @@ def test_phash_dedup_packed_matches_agg(spark):
         D.phash_dedup_packed(bad, z=6).collect()
     with pytest.raises(ValueError, match="exceeds 63"):
         D.phash_dedup_packed(a, z=6, phash_bits=60)
+
+
+# ---------------------------------------------------------------------------
+# phash hamming near-dup (banding guarantee + popcount refine)
+# ---------------------------------------------------------------------------
+
+def _brute_hamming_pairs(ids, codes, k):
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin((codes[i] ^ codes[j]) & ((1 << 64) - 1)).count("1") <= k:
+                a, b = sorted((ids[i], ids[j]))
+                out.add((a, b))
+    return out
+
+
+@pytest.mark.spark
+def test_phash_hamming_matches_bruteforce(spark):
+    """Lossless banding: with k < bands every hamming<=k pair must appear —
+    random signed 64-bit codes plus planted few-bit perturbations."""
+    rng = np.random.default_rng(11)
+    codes = rng.integers(-(2 ** 63), 2 ** 63, size=80, dtype=np.int64)
+    for t in range(20):  # plant near-dups at hamming 1..3 of earlier rows
+        flips = rng.choice(64, size=1 + t % 3, replace=False)
+        v = codes[t]
+        for p in flips:
+            v = np.int64(v) ^ np.int64(np.uint64(1) << np.uint64(p))
+        codes[79 - t] = v
+    ids = list(range(80))
+    df = spark.createDataFrame(
+        [(i, int(c)) for i, c in zip(ids, codes)], "image_id long, phash long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in D.phash_hamming_pairs(df, id_col="image_id", k=3).collect()}
+    want = _brute_hamming_pairs(ids, [int(c) & ((1 << 64) - 1) for c in codes], 3)
+    assert set(got) == want
+    for (a, b), h in got.items():
+        assert h == bin((int(codes[a]) ^ int(codes[b])) & ((1 << 64) - 1)).count("1")
+
+
+@pytest.mark.spark
+def test_phash_hamming_hot_bucket_star(spark):
+    """Adversarial identical-phash clique: output stays linear (star pairs
+    against the min-id representative), every member stays connected."""
+    n = 300
+    rows = [(i, 1234567890123) for i in range(n)]
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+    pairs = D.phash_hamming_pairs(df, id_col="image_id", k=3, max_bucket=50).collect()
+    assert len(pairs) == n - 1  # star, not the C(300,2)=44850 clique
+    assert all(r.id_a == 0 and r.hamming == 0 for r in pairs)
+    assert {r.id_b for r in pairs} == set(range(1, n))
+
+
+def test_phash_hamming_validates_params():
+    with pytest.raises(ValueError):
+        D.phash_hamming_pairs(None, k=4, bands=4)
+    with pytest.raises(ValueError):
+        D.phash_hamming_pairs(None, k=3, bands=5)
