@@ -590,6 +590,29 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                k=3, bands=4, max_bucket=1000)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k with the LEARNED coarse quantizer (k-means IVF): probes the
+    n_probe nearest learned cells, exact integer dot-product rank. Same rank
+    convention as ann_topk / ann_topk_lsh; oracle reuses the unrolled Lloyd
+    CTEs and reproduces the identical result set."""
+    from mvt_wrangler_spark.operators.cluster import ann_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk_ivf(emb, k=5, n_clusters=4, n_probe=2, n_iter=2,
+                        quant=100, n_queries=3)
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-Lloyd k-means over the embeddings table, bit-exact: quantized
+    vectors, deterministic min-id init, integer argmin with lowest-centroid
+    ties, floor-divided centroid updates, empty clusters inherit. The oracle
+    unrolls the SAME two iterations in SQL (cluster.kmeans_sql)."""
+    from mvt_wrangler_spark.operators.cluster import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_assign(emb, k=4, n_iter=2, quant=100)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling position-weighted fingerprint mod 2^31-1 (SQL-foldable)."""
     from mvt_wrangler_spark.operators import text as T
@@ -636,6 +659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "thumb_stats": q_thumb_stats,
         "phash_neardup": q_phash_neardup,
+        "kmeans_assign": q_kmeans_assign,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "tile_encode": q_tile_encode,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -984,6 +1009,12 @@ SELECT id,
 FROM __ids"""
     phash_neardup = phash_hamming_sql(phash_nd_src, k=3, bands=4, max_bucket=1000)
 
+    from mvt_wrangler_spark.operators.cluster import ann_topk_ivf_sql, kmeans_sql
+
+    kmeans_sql_oracle = kmeans_sql(k=4, n_iter=2, quant=100)
+    ann_ivf_oracle = ann_topk_ivf_sql(k=5, n_clusters=4, n_probe=2,
+                                      n_iter=2, quant=100, n_queries=3)
+
     doc_fp = """
 WITH c AS (
   SELECT doc_id,
@@ -1055,4 +1086,6 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "zonal_stats": zonal,
         "thumb_stats": thumb,
         "phash_neardup": phash_neardup,
+        "kmeans_assign": kmeans_sql_oracle,
+        "ann_topk_ivf": ann_ivf_oracle,
     }
