@@ -72,12 +72,26 @@ def main() -> None:
         "intersects_join", "knn_join", "phash_dedup", "pipeline_e2e",
         "tag_filter", "events_window", "text_stats", "ann_topk",
         "ann_topk_lsh", "minhash_lsh", "cell_encode", "tile_encode",
-        "embed_neardup_lsh", "simhash", "thumb_stats",
+        "embed_neardup_lsh", "simhash", "thumb_stats", "phash_neardup",
+        "kmeans_assign", "ann_topk_ivf",
     ]
+    # two readings per query: cold (first run — the round-over-round
+    # comparable series, includes codegen/JIT compile) and warm (second run —
+    # the engine's steady-state cost; at sf0.1 many queries are COMPILE
+    # dominated: tile_assign's ~6 s is ~5 s of one-time Hilbert-chain codegen
+    # that amortizes to <0.1 s/M rows at the 120M-row scenarios)
+    # the cold pass runs FIRST and alone, so its per-query series has the
+    # same JVM/heap history as earlier rounds (interleaving warm re-runs
+    # perturbs GC enough to shift cold numbers); the warm pass follows
+    warm: dict[str, float] = {}
     for name in bench_set:
         t0 = time.time()
         _count(qs[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
+    for name in bench_set:
+        t1 = time.time()
+        _count(qs[name](spark, SF_DIR))
+        warm[name] = round(time.time() - t1, 3)
 
     rps, n_out, dt = flagship_rows_per_sec(spark, SF_DIR)
 
@@ -86,6 +100,7 @@ def main() -> None:
         "value": round(rps, 1),
         "unit": "rows/sec",
         "queries": timings,
+        "queries_warm": warm,
         "sf": SF_DIR,
         "cpus": int(CPUS) if CPUS.isdigit() else CPUS,
         "flagship_out_rows": n_out,
