@@ -602,6 +602,53 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         quant=100, n_queries=3)
 
 
+def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's full bytes-to-near-dup image chain under one value hash:
+    algebraic images (pairs share a cluster formula; the odd member gets a
+    +45 bump in one cluster-chosen zone) -> real codec encode -> ahash64
+    (decode, 8x8 integer luma pooling, mean-threshold bits) ->
+    phash_hamming_pairs banding + popcount refine. The oracle restates
+    pixels, luma, pooling, the 64-bit assembly (HUGEINT wrap), and the
+    entire hamming join in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from mvt_wrangler_spark.operators.dedup import phash_hamming_pairs
+    from mvt_wrangler_spark.operators.multimodal import ahash64
+    from mvt_wrangler_spark.sources import images as I
+
+    W, H = 24, 16
+    ids = (_points(spark, sf_dir).select("id")
+           .filter((F.pmod("id", F.lit(5)) < 2)
+                   & (F.pmod(F.expr("id div 5"), F.lit(8)) == 0))
+           .distinct())
+
+    def gen(pdfs):
+        fmts = ["raw", "rawz", "qlossy"]
+        for pdf in pdfs:
+            rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                i = int(i)
+                cl, b = i // 5, i % 5
+                yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
+                px = (cl * 31 + yy * 7 + xx * 13 + cc * 5) % 200
+                if b == 1:  # localized bump in one cluster-chosen zone
+                    zy0, zx0 = cl % 8, (cl // 8) % 8
+                    px = px + 45 * ((yy // 2 == zy0) & (xx // 3 == zx0))
+                fmt = fmts[i % 3]
+                rows["image_id"].append(str(i))
+                rows["bytes"].append(I.encode(px.astype(np.uint8), fmt))
+                rows["fmt"].append(fmt)
+                rows["w"].append(W)
+                rows["h"].append(H)
+            yield pd.DataFrame(rows)
+
+    imgs = ids.mapInPandas(gen, "image_id string, bytes binary, fmt string, w int, h int")
+    ph = ahash64(imgs).select(F.col("image_id").cast("long").alias("id"), "ahash")
+    return phash_hamming_pairs(ph, id_col="id", phash_col="ahash",
+                               k=3, bands=4, max_bucket=1000)
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-Lloyd k-means over the embeddings table, bit-exact: quantized
     vectors, deterministic min-id init, integer argmin with lowest-centroid
@@ -661,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup": q_phash_neardup,
         "kmeans_assign": q_kmeans_assign,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "image_ahash_neardup": q_image_ahash_neardup,
         "tile_encode": q_tile_encode,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1009,6 +1057,41 @@ SELECT id,
 FROM __ids"""
     phash_neardup = phash_hamming_sql(phash_nd_src, k=3, bands=4, max_bucket=1000)
 
+    # image bytes -> ahash -> hamming near-dup: restate pixels, luma pooling,
+    # the 64-bit assembly (two 32-bit halves, HUGEINT combine, signed wrap),
+    # then reuse the hamming-join twin verbatim
+    lo_bits = ("sum(CASE WHEN v > m AND idx < 32 "
+               "THEN CAST(1 AS BIGINT) << CAST(idx AS INT) ELSE 0 END)")
+    hi_bits = ("sum(CASE WHEN v > m AND idx >= 32 "
+               "THEN CAST(1 AS BIGINT) << CAST(idx - 32 AS INT) ELSE 0 END)")
+    ahash_src = f"""WITH __pts AS ({POINTS_SQL}),
+__im AS (SELECT DISTINCT id, id // 5 AS cl, id % 5 AS b, CAST(id % 3 AS INT) AS fsel
+         FROM __pts WHERE id % 5 < 2 AND (id // 5) % 8 = 0),
+__px AS (
+  SELECT id, i.i AS i, j.j AS j, c.c AS c,
+         (cl*31 + i.i*7 + j.j*13 + c.c*5) % 200
+         + CASE WHEN b = 1 AND i.i // 2 = cl % 8 AND j.j // 3 = (cl // 8) % 8
+                THEN 45 ELSE 0 END AS raw_v,
+         fsel
+  FROM __im, generate_series(0, 15) i(i), generate_series(0, 23) j(j),
+       generate_series(0, 2) c(c)),
+__lum AS (
+  SELECT id, i, j,
+         sum((CASE WHEN fsel = 2 THEN raw_v // 4 * 4 + 2 ELSE raw_v END)
+             * (CASE c WHEN 1 THEN 2 ELSE 1 END)) AS lum
+  FROM __px GROUP BY 1, 2, 3),
+__z AS (SELECT id, (i // 2) * 8 + (j // 3) AS idx,
+               CAST(sum(lum) // 6 AS BIGINT) AS v
+        FROM __lum GROUP BY 1, 2),
+__zm AS (SELECT __z.*, mm.m FROM __z JOIN
+         (SELECT id, sum(v) // 64 AS m FROM __z GROUP BY id) mm USING (id)),
+__h AS (SELECT id, CAST({hi_bits} AS HUGEINT) * 4294967296 + {lo_bits} AS h
+        FROM __zm GROUP BY id)
+SELECT id, CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+                     ELSE h END AS BIGINT) AS phash
+FROM __h"""
+    ahash_neardup = phash_hamming_sql(ahash_src, k=3, bands=4, max_bucket=1000)
+
     from mvt_wrangler_spark.operators.cluster import ann_topk_ivf_sql, kmeans_sql
 
     kmeans_sql_oracle = kmeans_sql(k=4, n_iter=2, quant=100)
@@ -1088,4 +1171,5 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "phash_neardup": phash_neardup,
         "kmeans_assign": kmeans_sql_oracle,
         "ann_topk_ivf": ann_ivf_oracle,
+        "image_ahash_neardup": ahash_neardup,
     }

@@ -122,3 +122,56 @@ def thumbnail(images_df: DataFrame, factor: int = 4, out_fmt: str = "rawz") -> D
 
     cols = ["image_id", "bytes", "fmt", "w", "h"]
     return images_df.select(*cols).mapInPandas(_thumb, THUMB_SCHEMA)
+
+
+AHASH_SCHEMA = "image_id string, ahash long"
+
+
+def ahash64(images_df: DataFrame, luma=(1, 2, 1), luma_div: int = 1) -> DataFrame:
+    """64-bit average-hash (aHash) computed from the DECODED pixels — a real
+    perceptual hash, unlike the synthetic table's opaque phash column.
+
+    Classic aHash, integer-exact end to end so the contract oracle can
+    restate it in SQL: crop to the largest 8x8-divisible grid, per-zone
+    integer luma (r*1 + g*2 + b*1 by default) block sums, zone value
+    v = sum // zone_px, global mean m = sum(v) // 64, bit_i = v_i > m
+    (strict), hash = sum(bit_i << i) wrapped to signed int64. Near-identical
+    images (re-encodes, small local edits, uniform brightness shifts — which
+    cancel in v vs m) land within a few hamming bits, which is exactly what
+    dedup.phash_hamming_pairs consumes: ahash64 |> phash_hamming_pairs is
+    the engine's bytes-to-near-dup image pipeline.
+
+    One mapInPandas pass; per-image body is pure numpy + a 64-bit assembly.
+    Images smaller than 8x8 are skipped.
+    """
+    lr, lg, lb = luma
+
+    def _hash(pdfs):
+        from ..sources import images as I
+
+        for pdf in pdfs:
+            out = {"image_id": [], "ahash": []}
+            for row in pdf.itertuples(index=False):
+                if row.bytes is None or row.w < 8 or row.h < 8:
+                    continue
+                px = I.decode(bytes(row.bytes), row.fmt, row.w, row.h).astype(np.int64)
+                zh, zw = row.h // 8, row.w // 8
+                lum = (px[: zh * 8, : zw * 8, 0] * lr
+                       + px[: zh * 8, : zw * 8, 1] * lg
+                       + px[: zh * 8, : zw * 8, 2] * lb) // luma_div
+                sums = lum.reshape(8, zh, 8, zw).sum(axis=(1, 3))   # (8, 8)
+                v = sums // (zh * zw)
+                m = int(v.sum()) // 64
+                bits = (v > m).ravel()                               # i = zy*8+zx
+                h = 0
+                for i in range(64):
+                    if bits[i]:
+                        h |= 1 << i
+                if h >= 1 << 63:
+                    h -= 1 << 64                                     # signed wrap
+                out["image_id"].append(row.image_id)
+                out["ahash"].append(h)
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "fmt", "w", "h"]
+    return images_df.select(*cols).mapInPandas(_hash, AHASH_SCHEMA)

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from mvt_wrangler_spark.sources import images as I
 
@@ -112,3 +113,42 @@ def test_thumbnail_spark_end_to_end(spark):
         a, b = f"img{i:09d}", f"img{i - 1:09d}"
         if a in out and b in out and src[a].fmt == src[b].fmt:
             assert bytes(out[a].thumb) == bytes(out[b].thumb)
+
+
+@pytest.mark.spark
+def test_ahash64_properties(spark):
+    """aHash invariants: codec-independence for lossless fmts, exact
+    invariance under uniform brightness shift (v and m move together by
+    4c with no truncation slip), and the bytes->near-dup chain finding
+    the synthetic table's planted exact duplicates at hamming 0."""
+    import pandas as pd
+
+    from mvt_wrangler_spark.operators.dedup import phash_hamming_pairs
+    from mvt_wrangler_spark.operators.multimodal import ahash64
+
+    base = (I.pixels_for(77, 24, 16) % 250).astype(np.uint8)  # headroom: +3 never clips
+    shifted = (base.astype(np.int64) + 3).astype(np.uint8)
+    rows = [
+        ("raw0", I.encode(base, "raw"), "raw", 24, 16),
+        ("rawz0", I.encode(base, "rawz"), "rawz", 24, 16),
+        ("shift", I.encode(shifted, "raw"), "raw", 24, 16),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "fmt", "w", "h"]))
+    got = {r.image_id: r.ahash for r in ahash64(df).collect()}
+    assert got["raw0"] == got["rawz0"]          # codec-independent
+    assert got["raw0"] == got["shift"]          # brightness-shift invariant
+
+    # chain: every-17th exact duplicate in the synthetic table -> hamming 0
+    imgs = I.synthetic_images(spark, 200, with_pixels=True, partitions=3)
+    ph = ahash64(imgs).select(
+        F.expr("CAST(substring(image_id, 4, 12) AS BIGINT)").alias("id"), "ahash")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in phash_hamming_pairs(ph, id_col="id", phash_col="ahash",
+                                          k=3).collect()}
+    # only pairs where NEITHER side is qlossy are pixel-exact (fmt cycles by
+    # the row's own id even though duplicates copy donor pixels + dims)
+    planted = [(i - 1, i) for i in range(17, 200, 17)
+               if i % 3 != 2 and (i - 1) % 3 != 2]
+    assert planted and all(pairs.get(p) == 0 for p in planted), (
+        [p for p in planted if pairs.get(p) != 0])
