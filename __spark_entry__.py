@@ -660,6 +660,57 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, k=4, n_iter=2, quant=100)
 
 
+def q_tile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantiles of the z8 tile-size distribution — the skew diagnosis
+    every hot-tile salting decision starts from. Quantile = value at rank
+    ceil(q*n/100) over (cnt, x, y)-ordered tile counts (integer rank math,
+    deterministic ties). The global window runs over TILE aggregates (already
+    reduced ~4^z rows), not raw rows — at 100 TB the input to this window is
+    bounded by the tile universe, and the rank target is integer-exact."""
+    from pyspark.sql import Window
+
+    from mvt_wrangler_spark.functions import tiling
+
+    pts = _points(spark, sf_dir)
+    sizes = (tiling.assign_tiles(pts, z=8, with_local=False)
+             .groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.orderBy(F.col("cnt").asc(), F.col("x").asc(), F.col("y").asc())
+    ranked = sizes.withColumn("rn", F.row_number().over(w))
+    tot = sizes.agg(F.count(F.lit(1)).alias("n"))
+    targets = (tot.select(F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q"), "n")
+               .withColumn("target", F.expr("(q * n + 99) div 100")))
+    return (targets.join(ranked, targets["target"] == ranked["rn"])
+            .select(F.col("q").cast("int").alias("q"),
+                    F.col("cnt").cast("long").alias("tile_cnt")))
+
+
+def q_revenue_by_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic analytical join co-existing with the spatial ops: customers
+    become deterministic points, orders aggregate to per-customer revenue
+    (DECIMAL(18,2) sums — exact, order-independent, hash-stable across
+    engines), the two shuffle-join on custkey, and the result rolls up per
+    z5 tile. Customers without orders count with zero revenue."""
+    from mvt_wrangler_spark.functions import tiling
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ck = F.col("c_custkey")
+    cpts = cust.select(
+        ck.alias("custkey"),
+        ((F.pmod(ck * 7919, F.lit(360000)) - 180000).cast("double") / 1000.0).alias("lon"),
+        ((F.pmod(ck * 104729, F.lit(170000)) - 85000).cast("double") / 1000.0).alias("lat"))
+    assigned = tiling.assign_tiles(cpts, z=5, with_local=False)
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d"),
+        F.count(F.lit(1)).alias("n_ord"))
+    j = assigned.join(rev, assigned["custkey"] == rev["o_custkey"], "left")
+    return j.groupBy("z", "x", "y").agg(
+        F.sum(F.coalesce(F.col("rev_d"), F.lit(0).cast("decimal(18,2)")))
+        .cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.coalesce(F.col("n_ord"), F.lit(0))).cast("long").alias("n_orders"))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling position-weighted fingerprint mod 2^31-1 (SQL-foldable)."""
     from mvt_wrangler_spark.operators import text as T
@@ -709,6 +760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "ann_topk_ivf": q_ann_topk_ivf,
         "image_ahash_neardup": q_image_ahash_neardup,
+        "tile_quantiles": q_tile_quantiles,
+        "revenue_by_tile": q_revenue_by_tile,
         "tile_encode": q_tile_encode,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1044,6 +1097,41 @@ SELECT id,
 FROM __blk GROUP BY 1
 """
 
+    # exact tile-size quantiles: value at rank ceil(q*n/100) with (cnt, x, y)
+    # tie-break, integer rank target in both engines
+    tile_quantiles = f"""
+WITH __pts AS ({POINTS_SQL}),
+__xy8 AS (SELECT {tile_x_sql('lon', 8)} AS x, {tile_y_sql('lat', 8)} AS y FROM __pts),
+__t AS (SELECT x, y, count(*) AS cnt FROM __xy8 GROUP BY 1, 2),
+__r AS (SELECT cnt, row_number() OVER (ORDER BY cnt ASC, x ASC, y ASC) AS rn FROM __t),
+__n AS (SELECT count(*) AS n FROM __t)
+SELECT CAST(q.q AS INT) AS q, CAST(r.cnt AS BIGINT) AS tile_cnt
+FROM (VALUES (50), (90), (99)) q(q), __n, __r r
+WHERE r.rn = (q.q * __n.n + 99) // 100
+"""
+
+    # revenue by tile: DECIMAL(18,2) sums are exact and order-independent in
+    # both engines (the double-sum nondeterminism trap), customers without
+    # orders keep zero revenue via the left join
+    revenue_by_tile = f"""
+WITH __c AS (
+  SELECT c_custkey AS custkey,
+         CAST((c_custkey*7919 % 360000 + 360000) % 360000 - 180000 AS DOUBLE) / 1000.0 AS lon,
+         CAST((c_custkey*104729 % 170000 + 170000) % 170000 - 85000 AS DOUBLE) / 1000.0 AS lat
+  FROM customer),
+__cxy AS (SELECT custkey, CAST(5 AS INT) AS z,
+                 {tile_x_sql('lon', 5)} AS x, {tile_y_sql('lat', 5)} AS y FROM __c),
+__rev AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d,
+                 count(*) AS n_ord
+          FROM orders GROUP BY 1)
+SELECT z, x, y,
+       CAST(sum(coalesce(rev_d, 0)) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(coalesce(n_ord, 0)) AS BIGINT) AS n_orders
+FROM __cxy LEFT JOIN __rev ON custkey = o_custkey
+GROUP BY 1, 2, 3
+"""
+
     # phash near-dup: same integer phash synthesis, then the band/join/refine
     # restated by phash_hamming_sql — bit-identical candidate and refine path
     from mvt_wrangler_spark.operators.dedup import phash_hamming_sql
@@ -1172,4 +1260,6 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "kmeans_assign": kmeans_sql_oracle,
         "ann_topk_ivf": ann_ivf_oracle,
         "image_ahash_neardup": ahash_neardup,
+        "tile_quantiles": tile_quantiles,
+        "revenue_by_tile": revenue_by_tile,
     }
