@@ -205,14 +205,37 @@ class SnapshotTable:
         with open(f"{self.root}/manifests/snapshot-{n}.json") as f:
             return json.load(f)
 
-    def read_current(self, spark: SparkSession) -> DataFrame:
-        snap = self.current_snapshot()
-        if snap is None:
-            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+    def snapshot(self, snapshot_id: int) -> dict:
+        """Load a committed snapshot manifest by id (manifests are immutable)."""
+        path = f"{self.root}/manifests/snapshot-{snapshot_id}.json"
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no snapshot {snapshot_id} at {self.root} "
+                f"(latest: {self.current_snapshot_id()})")
+        with open(path) as f:
+            return json.load(f)
+
+    def read_at(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
+        """Time-travel read: the table exactly as of `snapshot_id` (Iceberg
+        `VERSION AS OF` analog). Works for any snapshot whose data files
+        survive — append chains keep every referenced job dir alive through
+        vacuum(); an OVERWRITE snapshot's predecessors lose their files to
+        vacuum (expire-snapshots semantics) and then raise here."""
+        snap = self.snapshot(snapshot_id)
         paths = [m["path"] for m in snap["buckets"] if m["files"]]
         if not paths:
-            raise FileNotFoundError(f"snapshot {snap['snapshot']} has no data files")
+            raise FileNotFoundError(f"snapshot {snapshot_id} has no data files")
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} data vacuumed: {missing[:3]}")
         return spark.read.parquet(*paths)
+
+    def read_current(self, spark: SparkSession) -> DataFrame:
+        n = self.current_snapshot_id()
+        if n == 0:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        return self.read_at(spark, n)
 
     def lineage(self) -> list[dict]:
         """Per-partition lineage of the current snapshot (north rule metric)."""

@@ -215,3 +215,30 @@ def test_deep_zoom_range_bucketing_no_overflow(spark):
             prev_max = max(vals)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_time_travel_read_at(spark, table):
+    """Iceberg VERSION AS OF analog: every committed snapshot stays readable
+    as long as its data files survive; append chains keep all predecessors
+    alive through vacuum; an overwrite + vacuum expires older snapshots."""
+    table.write_snapshot(_df(spark).filter(F.col("id") < 2000),
+                         job_id="tt-batch-0", append=True)
+    first = table.current_snapshot_id()
+    table.write_snapshot(_df(spark).filter(F.col("id") >= 2000),
+                         job_id="tt-batch-1", append=True)
+    assert table.current_snapshot_id() == first + 1
+    assert table.read_at(spark, first).count() == 2000
+    assert table.read_at(spark, first + 1).count() == 5000
+    assert table.read_current(spark).count() == 5000
+    # append chain: vacuum keeps every referenced job dir -> still readable
+    table.vacuum()
+    assert table.read_at(spark, first).count() == 2000
+    # overwrite commit + vacuum expires the old snapshots' files
+    table.write_snapshot(_df(spark).filter(F.col("id") < 500), job_id="tt-rewrite")
+    table.vacuum()
+    assert table.read_current(spark).count() == 500
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        table.read_at(spark, first)
+    with pytest.raises(FileNotFoundError, match="no snapshot"):
+        table.snapshot(99)
