@@ -660,6 +660,39 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, k=4, n_iter=2, quant=100)
 
 
+def q_bytes_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash exact dedup over RAW BYTES — the first dedup any image
+    pipeline runs. Images whose ids share a seed (id//106 over the id%53==11
+    selection) produce byte-identical raw blobs; groups key on
+    md5(lower(hex(bytes))) so the oracle can rebuild the exact byte stream
+    from the pixel formula (printf %02x per byte in row-major order) and md5
+    the same string — binary content hashing under the value gate."""
+    import numpy as np
+    import pandas as pd
+
+    W, H = 8, 6
+    ids = (_points(spark, sf_dir).select("id")
+           .filter(F.pmod("id", F.lit(53)) == 11).distinct())
+
+    def gen(pdfs):
+        for pdf in pdfs:
+            rows = {"id": [], "bytes": []}
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                i = int(i)
+                seed = i // 106
+                yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
+                px = ((seed * 37 + yy * 11 + xx * 17 + cc * 23) % 256).astype(np.uint8)
+                rows["id"].append(i)
+                rows["bytes"].append(px.tobytes())
+            yield pd.DataFrame(rows)
+
+    imgs = ids.mapInPandas(gen, "id long, bytes binary")
+    return (imgs.select("id", F.md5(F.lower(F.hex("bytes"))).alias("content_hash"))
+            .groupBy("content_hash")
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.min("id").alias("keeper_id")))
+
+
 def q_tile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT quantiles of the z8 tile-size distribution — the skew diagnosis
     every hot-tile salting decision starts from. Quantile = value at rank
@@ -762,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash_neardup": q_image_ahash_neardup,
         "tile_quantiles": q_tile_quantiles,
         "revenue_by_tile": q_revenue_by_tile,
+        "bytes_dedup": q_bytes_dedup,
         "tile_encode": q_tile_encode,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1132,6 +1166,23 @@ FROM __cxy LEFT JOIN __rev ON custkey = o_custkey
 GROUP BY 1, 2, 3
 """
 
+    # content-hash dedup: rebuild the exact raw byte stream from the pixel
+    # formula (row-major %02x hex), md5 the same lowercase-hex string
+    bytes_dedup = f"""
+WITH __pts AS ({POINTS_SQL}),
+__im AS (SELECT DISTINCT id, id // 106 AS seed FROM __pts WHERE id % 53 = 11),
+__px AS (
+  SELECT id, i.i AS i, j.j AS j, c.c AS c,
+         (seed*37 + i.i*11 + j.j*17 + c.c*23) % 256 AS v
+  FROM __im, generate_series(0, 5) i(i), generate_series(0, 7) j(j),
+       generate_series(0, 2) c(c)),
+__hx AS (SELECT id, md5(string_agg(printf('%02x', v), '' ORDER BY i, j, c)) AS content_hash
+         FROM __px GROUP BY id)
+SELECT content_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(id) AS BIGINT) AS keeper_id
+FROM __hx GROUP BY 1
+"""
+
     # phash near-dup: same integer phash synthesis, then the band/join/refine
     # restated by phash_hamming_sql — bit-identical candidate and refine path
     from mvt_wrangler_spark.operators.dedup import phash_hamming_sql
@@ -1262,4 +1313,5 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "image_ahash_neardup": ahash_neardup,
         "tile_quantiles": tile_quantiles,
         "revenue_by_tile": revenue_by_tile,
+        "bytes_dedup": bytes_dedup,
     }
