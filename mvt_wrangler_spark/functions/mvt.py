@@ -221,6 +221,11 @@ def decode_geometry_rings(ints: list[int]) -> list[list[tuple[int, int]]]:
                 cur = [(x, y)]
                 rings.append(cur)
         else:  # CMD_LINE
+            if cur is None:
+                # corrupt stream: spec 4.3.4 requires a MoveTo first (and a
+                # fresh MoveTo after ClosePath); fail diagnosably instead of
+                # AttributeError on None
+                raise ValueError("LineTo before MoveTo in geometry stream")
             for _ in range(count):
                 x += unzigzag(ints[pos])
                 y += unzigzag(ints[pos + 1])
@@ -341,6 +346,11 @@ def _decode_layer(buf: bytes) -> dict:
 
 def _decode_feature(buf: bytes) -> dict:
     out = {"id": None, "tags": [], "geom": [], "type": "Point", "ring_lens": []}
+    # packed-repeated fields may legally arrive split across several
+    # length-delimited blocks (protobuf wire spec); both tags (field 2) and
+    # geometry (field 4) CONCATENATE across blocks, so geometry ints are
+    # accumulated here and decoded once after the walk
+    geom_ints: list[int] = []
     pos = 0
     while pos < len(buf):
         key, pos = read_uvarint(buf, pos)
@@ -361,12 +371,13 @@ def _decode_feature(buf: bytes) -> dict:
                 v, p = read_uvarint(body, p)
                 out["tags"].append(v)
         elif field == 4:
-            ints, p = [], 0
+            p = 0
             while p < len(body):
                 v, p = read_uvarint(body, p)
-                ints.append(v)
-            rings = decode_geometry_rings(ints)
-            out["ring_lens"] = [len(r) for r in rings]
-            out["geom"] = [c for r in rings for pt in r for c in pt]
+                geom_ints.append(v)
         pos = end
+    if geom_ints:
+        rings = decode_geometry_rings(geom_ints)
+        out["ring_lens"] = [len(r) for r in rings]
+        out["geom"] = [c for r in rings for pt in r for c in pt]
     return out

@@ -215,10 +215,18 @@ def flatten_np(blobs) -> dict:
         ld_end = np.minimum(starts_pad[c + 2] + v1, nbytes)
         j_ld = np.searchsorted(starts, ld_end, side="left")
         nx = np.where(w == 0, c + 2, np.where(v1 > 0, j_ld, c + 2))
+        # packed-repeated tags/geometry may legally be SPLIT across several
+        # blocks (concatenation semantics); this walk holds one (start, end)
+        # span per field, so a second block would silently drop the first —
+        # defer such features to the scalar path, which concatenates per spec
         m = (w == 2) & (f == 2)
+        if np.any(tb[act[m]] != 0):
+            raise VarintFallback("repeated tags block in feature")
         ta[act[m]] = c[m] + 2
         tb[act[m]] = nx[m]
         m = (w == 2) & (f == 4)
+        if np.any(gb[act[m]] != 0):
+            raise VarintFallback("repeated geometry block in feature")
         ga[act[m]] = c[m] + 2
         gb[act[m]] = nx[m]
         cur[act] = nx

@@ -513,12 +513,19 @@ def phash_hamming_pairs(df: DataFrame, id_col: str = "image_id",
     Banding guarantee (pigeonhole): split the 64-bit phash into `bands`
     disjoint bit-bands; any pair with hamming distance k < bands agrees
     EXACTLY on at least one band, so the band equi-join is a LOSSLESS
-    candidate generator — no recall loss, unlike probabilistic LSH. Shuffle
-    is linear in rows (bands copies); per-bucket pair output is capped at
-    max_bucket^2, with the hot-bucket star fallback (identical-phash cliques
-    at web scale) emitting O(B) representative pairs instead of O(B^2).
-    Candidates are then refined with an exact popcount: every emitted pair
-    satisfies bit_count(a XOR b) <= k whichever candidate path found it.
+    candidate generator FOR BUCKETS WITHIN max_bucket — no recall loss
+    there, unlike probabilistic LSH. Shuffle is linear in rows (bands
+    copies); per-bucket pair output is capped at max_bucket^2, with the
+    hot-bucket star fallback (identical-phash cliques at web scale)
+    emitting O(B) representative pairs instead of O(B^2). Inside a hot
+    bucket only rep-connectivity is guaranteed: a pair whose every agreeing
+    band is hot is seen only as (rep, a), (rep, b) star candidates, and if
+    both are within k of each other but beyond k of the rep, the refine
+    drops it — the same bounded-recall trade minhash_lsh_candidates makes.
+    Raise max_bucket (or disable hot_fallback) where full hot-bucket recall
+    matters more than the O(B^2) blowup. Candidates are then refined with
+    an exact popcount: every emitted pair satisfies bit_count(a XOR b) <= k
+    whichever candidate path found it.
 
     Input must be unique per id (pre-aggregate otherwise). Output:
     (id_a, id_b, hamming), id_a < id_b, distinct.

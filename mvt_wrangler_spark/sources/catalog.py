@@ -74,7 +74,13 @@ class SnapshotTable:
             # Concatenating buckets 0..n-1 yields global cluster-key order.
             span = self.key_max - self.key_min + 1
             width = max(1, -(-span // self.n_buckets))  # ceil, python ints
-            b = F.floor((key - F.lit(self.key_min)) / F.lit(width)).cast("int")
+            # integer DIV, not `/`: Spark's `/` is double division, and for
+            # cluster keys above 2^53 (deep-zoom tile ids) float rounding can
+            # shift boundary keys into the adjacent bucket — DIV forms no
+            # multiply (overflow-safe) and stays integer-exact
+            b = F.expr(
+                f"CAST(((`{self.bucket_col}` - {self.key_min}) "
+                f"DIV {width}) AS INT)")
             b = F.greatest(F.lit(0), F.least(F.lit(self.n_buckets - 1), b))
         else:
             b = F.pmod(key, F.lit(self.n_buckets)).cast("int")  # hash-style

@@ -327,10 +327,26 @@ def read_pmtiles(spark, path: str):
             "tile_id": np.array(tids, dtype=np.int64), "data": blobs,
         })
 
+    def _fetch(pdfs):
+        with open(path, "rb") as f:
+            for pdf in pdfs:
+                tids, blobs = [], []
+                _fetch_rows(f, data_off, pdf.itertuples(index=False), tids, blobs)
+                yield _frame(tids, blobs)
+
+    def _direct_df(entries):
+        edf = spark.createDataFrame(
+            entries, "tile_id bigint, off bigint, len bigint, run bigint")
+        return edf.repartition(n).mapInPandas(_fetch, out_schema)
+
     if rd.leafed:
-        ldf = spark.createDataFrame(
-            [(off, ln) for _, off, ln, _ in rd.root],
-            "loff bigint, llen bigint")
+        # the v3 spec permits a MIXED root: direct tile entries (run >= 1)
+        # alongside leaf-directory pointers (run == 0); only the latter are
+        # gzip-decompressed as directories — direct entries go through the
+        # same blob-fetch path as a root-only archive
+        leaf_ptrs = [(off, ln) for _, off, ln, rl in rd.root if rl == 0]
+        direct = [e for e in rd.root if e[3] >= 1]
+        ldf = spark.createDataFrame(leaf_ptrs, "loff bigint, llen bigint")
 
         def _fetch_leaves(pdfs):
             with open(path, "rb") as f:
@@ -345,19 +361,12 @@ def read_pmtiles(spark, path: str):
                         _fetch_rows(f, data_off, decode_directory(raw), tids, blobs)
                         yield _frame(tids, blobs)
 
-        return ldf.repartition(n).mapInPandas(_fetch_leaves, out_schema)
+        out = ldf.repartition(n).mapInPandas(_fetch_leaves, out_schema)
+        if direct:
+            out = out.unionByName(_direct_df(direct))
+        return out
 
-    edf = spark.createDataFrame(
-        rd.root, "tile_id bigint, off bigint, len bigint, run bigint")
-
-    def _fetch(pdfs):
-        with open(path, "rb") as f:
-            for pdf in pdfs:
-                tids, blobs = [], []
-                _fetch_rows(f, data_off, pdf.itertuples(index=False), tids, blobs)
-                yield _frame(tids, blobs)
-
-    return edf.repartition(n).mapInPandas(_fetch, out_schema)
+    return _direct_df(rd.root)
 
 
 class PMTilesReader:
@@ -397,9 +406,12 @@ class PMTilesReader:
         if not self.leafed:
             return self.root
         out: list[tuple[int, int, int, int]] = []
-        for _, off, ln, rl in self.root:
-            assert rl == 0
-            out.extend(self._leaf(off, ln))
+        for ent in self.root:
+            if ent[3] == 0:  # leaf pointer; mixed roots are spec-valid
+                out.extend(self._leaf(ent[1], ent[2]))
+            else:
+                out.append(ent)
+        out.sort(key=lambda e: e[0])
         return out
 
     def metadata(self) -> dict:

@@ -242,3 +242,23 @@ def test_time_travel_read_at(spark, table):
         table.read_at(spark, first)
     with pytest.raises(FileNotFoundError, match="no snapshot"):
         table.snapshot(99)
+
+@pytest.mark.spark
+def test_range_bucket_boundaries_integer_exact(spark):
+    """Bucket boundaries above 2^53 are integer-exact (DIV, not double `/`):
+    key = k*width - 1 must land in bucket k-1; double division rounds
+    (k*width - 1)/width up to exactly k in float64 and mis-buckets it."""
+    hi = (1 << 60) - 1
+    root = ROOT + "_bnd"
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        t = SnapshotTable(root, n_buckets=8, bucket_col="tile_id", key_max=hi)
+        width = -(-(hi + 1) // 8)
+        keys = [0, width - 1, width, 2 * width - 1, 2 * width,
+                7 * width - 1, 7 * width, hi]
+        df = spark.createDataFrame([(k,) for k in keys], "tile_id bigint")
+        got = {r["tile_id"]: r["__bucket"] for r in t._bucketed(df).collect()}
+        for k in keys:
+            assert got[k] == min(7, k // width), k
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -336,3 +336,50 @@ def test_vectorized_fallback_on_64bit_ids():
             assert np.array_equal(va, vb), k
         else:
             assert list(va) == list(vb), k
+
+
+def test_split_packed_blocks_fall_back_and_concatenate():
+    """Protobuf packed-repeated fields may legally arrive SPLIT across
+    several length-delimited blocks, which concatenate. The vectorized
+    parser holds one span per field, so it must defer such features
+    (VarintFallback); the scalar twin concatenates both tags (field 2)
+    and geometry (field 4) per spec."""
+    import gzip
+
+    import pytest as _pytest
+
+    from mvt_wrangler_spark.functions import mvt_np
+
+    geom = mvt.linestring_geometry([1, 5, 9], [2, 6, 10])
+    half = 3  # split between the MoveTo run and the LineTo run
+    body = (mvt._tag(3, 0) + mvt.uvarint(2)  # type = LINESTRING
+            + mvt._ld(2, b"".join(mvt.uvarint(t) for t in (0, 0)))
+            + mvt._ld(2, b"".join(mvt.uvarint(t) for t in (1, 1)))
+            + mvt._ld(4, b"".join(mvt.uvarint(g) for g in geom[:half]))
+            + mvt._ld(4, b"".join(mvt.uvarint(g) for g in geom[half:])))
+    layer = mvt.encode_layer("l", ["a", "b"], ["x", "y"], [body])
+    blob = gzip.compress(mvt.encode_tile([layer]), 6, mtime=0)
+
+    with _pytest.raises(mvt_np.VarintFallback):
+        mvt_np.flatten_np([blob])
+    s = mvt_np.flatten_scalar([blob])
+    # tags from BOTH blocks survive ([0,0] + [1,1] -> keys a and b)
+    assert list(s["gk_idx"]) == [0, 1]
+    assert list(s["gv_idx"]) == [0, 1]
+    # geometry from both blocks concatenates into the full linestring
+    assert list(s["ax"]) == [1.0, 5.0, 9.0]
+    assert list(s["ay"]) == [2.0, 6.0, 10.0]
+    assert s["gtype"][0] == "LineString"
+
+
+def test_line_before_move_raises_diagnosable_error():
+    """Corrupt command streams (LineTo with no open part) fail with an
+    explicit ValueError, not AttributeError on None."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="LineTo before MoveTo"):
+        mvt.decode_geometry_rings([mvt.CMD_LINE | (1 << 3), 2, 2])
+    with _pytest.raises(ValueError, match="LineTo before MoveTo"):
+        mvt.decode_geometry_rings(
+            [mvt.CMD_MOVE | (1 << 3), 2, 2, mvt.CMD_CLOSE | (1 << 3),
+             mvt.CMD_LINE | (1 << 3), 2, 2])

@@ -157,3 +157,56 @@ def test_pmtiles_leaf_run_length_across_boundary(spark, tmp_path):
     assert rd.get_tile(4999) is None
     got = {r.tile_id: bytes(r.data) for r in P.read_pmtiles(spark, path).collect()}
     assert got == {5000 + i: blobs[(i // 3) % 2] for i in range(40)}
+
+
+def test_pmtiles_mixed_root(spark, tmp_path):
+    """The v3 spec permits a MIXED root directory: direct tile entries
+    (run_length >= 1) alongside leaf-directory pointers (run_length == 0).
+    Hand-crafts such an archive; both the distributed scan and random
+    access must serve the direct entry as a tile, not parse it as a leaf."""
+    import gzip as _gz
+
+    from mvt_wrangler_spark.sources import pmtiles as P
+
+    blobs = {0: b"direct-zero", 1: b"one", 2: b"two", 3: b"three"}
+    data = b""
+    offs = {}
+    for tid in sorted(blobs):
+        offs[tid] = len(data)
+        data += blobs[tid]
+    leaf_entries = [(tid, offs[tid], len(blobs[tid]), 1) for tid in (1, 2, 3)]
+    leaf_raw = _gz.compress(P.encode_directory(leaf_entries), 6, mtime=0)
+    root_entries = [(0, offs[0], len(blobs[0]), 1),  # DIRECT tile entry
+                    (1, 0, len(leaf_raw), 0)]        # leaf pointer
+    root_raw = _gz.compress(P.encode_directory(root_entries), 6, mtime=0)
+    meta_raw = _gz.compress(b"{}", 6, mtime=0)
+    pos = P.HEADER_LEN
+    root_off = pos
+    pos += len(root_raw)
+    meta_off = pos
+    pos += len(meta_raw)
+    leaf_off = pos
+    pos += len(leaf_raw)
+    data_off = pos
+    hdr = P.Header(root_offset=root_off, root_len=len(root_raw),
+                   meta_offset=meta_off, meta_len=len(meta_raw),
+                   leaf_offset=leaf_off, leaf_len=len(leaf_raw),
+                   data_offset=data_off, data_len=len(data),
+                   addressed_tiles=4, tile_entries=4, tile_contents=4,
+                   max_zoom=1)
+    path = str(tmp_path / "mixed.pmtiles")
+    with open(path, "wb") as f:
+        f.write(hdr.pack())
+        f.write(root_raw)
+        f.write(meta_raw)
+        f.write(leaf_raw)
+        f.write(data)
+
+    rd = P.PMTilesReader(path)
+    assert rd.leafed
+    assert sorted(e[0] for e in rd.entries) == [0, 1, 2, 3]
+    assert rd.get_tile(0) == blobs[0] and rd.get_tile(3) == blobs[3]
+
+    got = {r["tile_id"]: bytes(r["data"])
+           for r in P.read_pmtiles(spark, path).collect()}
+    assert got == blobs
