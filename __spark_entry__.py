@@ -649,6 +649,19 @@ def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                k=3, bands=4, max_bucket=1000)
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs closed into CLUSTERS — the step pairwise dedup cannot
+    skip: image bytes -> ahash -> hamming band pairs (q_image_ahash_neardup)
+    -> pair_clusters transitive closure (alternating large-star/small-star
+    driver loop), yielding (member_id, cluster_rep, cluster_size) with the
+    deterministic min-id keeper. The oracle reuses the full ahash pair SQL
+    and closes it with a recursive-CTE reachability walk."""
+    from mvt_wrangler_spark.operators.dedup import pair_clusters
+
+    pairs = q_image_ahash_neardup(spark, sf_dir)
+    return pair_clusters(pairs)
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-Lloyd k-means over the embeddings table, bit-exact: quantized
     vectors, deterministic min-id init, integer argmin with lowest-centroid
@@ -793,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "ann_topk_ivf": q_ann_topk_ivf,
         "image_ahash_neardup": q_image_ahash_neardup,
+        "neardup_clusters": q_neardup_clusters,
         "tile_quantiles": q_tile_quantiles,
         "revenue_by_tile": q_revenue_by_tile,
         "bytes_dedup": q_bytes_dedup,
@@ -1230,6 +1244,11 @@ SELECT id, CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
                      ELSE h END AS BIGINT) AS phash
 FROM __h"""
     ahash_neardup = phash_hamming_sql(ahash_src, k=3, bands=4, max_bucket=1000)
+    # pairs -> clusters: recursive-CTE reachability closure over the SAME
+    # ahash pair query (pair_clusters' large-star/small-star twin)
+    from mvt_wrangler_spark.operators.dedup import pair_clusters_sql
+
+    neardup_clusters = pair_clusters_sql(ahash_neardup)
 
     from mvt_wrangler_spark.operators.cluster import ann_topk_ivf_sql, kmeans_sql
 
@@ -1311,6 +1330,7 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "kmeans_assign": kmeans_sql_oracle,
         "ann_topk_ivf": ann_ivf_oracle,
         "image_ahash_neardup": ahash_neardup,
+        "neardup_clusters": neardup_clusters,
         "tile_quantiles": tile_quantiles,
         "revenue_by_tile": revenue_by_tile,
         "bytes_dedup": bytes_dedup,

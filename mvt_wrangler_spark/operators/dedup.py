@@ -600,3 +600,129 @@ __cand AS (
 SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
 FROM __cand WHERE bit_count(xor(ph_a, ph_b)) <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Pairs -> clusters: distributed connected components (transitive closure)
+# ---------------------------------------------------------------------------
+
+def pair_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                  max_rounds: int = 50) -> DataFrame:
+    """Transitive closure of a near-dup PAIR set into clusters with a
+    deterministic min-id representative: (member_id, cluster_rep,
+    cluster_size). The step every candidate-pair operator here
+    (minhash_lsh_candidates, phash_hamming_pairs, embedding near-dup) needs
+    before rows can actually be dropped — pair (a,b)+(b,c) must yield ONE
+    cluster {a,b,c} with one keeper, the per-scope-complete semantics of the
+    reference's dictionary dedup (/root/reference/src/transform.rs:174-191)
+    lifted to the whole dataset.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SOCC'14 — public) as a
+    driver loop over DataFrame stages, the kmeans_fit pattern. Each round is
+    two grouped min-aggregations + joins keyed on node id; the edge set is
+    localCheckpoint'ed per round (truncates the compounding lazy DAG — see
+    kmeans_fit/knn expanding-ring note). Converges to per-component stars
+    centered on the min id in O(log^2 n) rounds even on adversarial path
+    graphs, where plain min-label propagation needs O(diameter) rounds.
+
+    100 TB notes: every stage is a shuffle keyed by node id, partial-agg
+    combinable; edge count is non-increasing round over round (large-star
+    emits one edge per (u, v>u) slot, small-star at most |E| + |V|, then
+    distinct). Cluster reps of giant components become hot join keys — AQE
+    skew-join splits them (enabled in session.py); no stage ever collects
+    edges to the driver. Convergence is detected by a (count, hash-sum)
+    signature of the canonical edge set, then VERIFIED structurally (a
+    star forest has no node on both sides of an edge) before returning.
+
+    Ids must be numeric (cast to long); pairs may arrive in any orientation,
+    with duplicates and self-loops (ignored). Nodes with no surviving pair
+    do not appear — left-join from the corpus for singleton handling.
+    """
+    def _canon(e: DataFrame) -> DataFrame:
+        return (e.filter(F.col("u") != F.col("v"))
+                .select(F.least("u", "v").alias("u"),
+                        F.greatest("u", "v").alias("v"))
+                .distinct())
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # for each node u: m = min(N(u) + {u}); attach strictly-larger
+        # neighbors to m
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (und.groupBy("u").agg(F.min("v").alias("mn"))
+             .select("u", F.least("mn", F.col("u")).alias("m")))
+        return (und.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v")))
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient high -> low; attach each smaller neighborhood (and the
+        # center) to its min
+        d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        m = d.groupBy("u").agg(F.min("v").alias("m"))
+        return (d.join(m, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(m.select("u", F.col("m").alias("v"))))
+
+    def _sig(e: DataFrame):
+        # decimal accumulator: summing raw int64 hashes overflows ANSI long
+        r = e.agg(F.count(F.lit(1)).alias("c"),
+                  F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
+                  ).first()
+        return (r["c"], r["h"])
+
+    edges = _canon(
+        pairs.select(F.col(id_a).cast("long").alias("u"),
+                     F.col(id_b).cast("long").alias("v"))
+    ).localCheckpoint(eager=True)
+    sig = _sig(edges)
+    for _ in range(max_rounds):
+        edges = _canon(_small_star(_canon(_large_star(edges)))
+                       ).localCheckpoint(eager=True)
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"pair_clusters did not converge in {max_rounds} "
+                           "rounds (O(log^2 n) expected)")
+    # structural star check: no node is both a rep (u) and a member (v)
+    not_star = edges.alias("a").join(
+        edges.alias("b"), F.col("a.u") == F.col("b.v"), "left_semi").count()
+    if not_star:
+        raise RuntimeError("pair_clusters signature converged on a non-star "
+                           "edge set — raise max_rounds")
+    members = (edges.select(F.col("v").alias("member_id"),
+                            F.col("u").alias("cluster_rep"))
+               .union(edges.select(F.col("u").alias("member_id"),
+                                   F.col("u").alias("cluster_rep")).distinct()))
+    sizes = members.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (members.join(sizes, "cluster_rep")
+            .select("member_id", "cluster_rep",
+                    F.col("cluster_size").cast("long").alias("cluster_size")))
+
+
+def pair_clusters_sql(pairs_src: str, id_a: str = "id_a",
+                      id_b: str = "id_b") -> str:
+    """DuckDB twin of pair_clusters: recursive-CTE reachability closure over
+    `pairs_src` (any query yielding id_a, id_b), then min reachable label
+    per member. Exact same (member_id, cluster_rep, cluster_size) set —
+    reachability is symmetric, so min-over-reachable == component min ==
+    the star center large-star/small-star converges to."""
+    return f"""
+WITH RECURSIVE
+__p AS (SELECT {id_a} AS pa, {id_b} AS pb FROM ({pairs_src}) WHERE {id_a} != {id_b}),
+__ed AS (SELECT pa AS u, pb AS v FROM __p UNION SELECT pb, pa FROM __p),
+__walk(id, lbl) AS (
+  SELECT u, u FROM __ed
+  UNION
+  SELECT e.v, w.lbl FROM __walk w JOIN __ed e ON e.u = w.id
+),
+__rep AS (SELECT id AS member_id, min(lbl) AS cluster_rep
+          FROM __walk GROUP BY id)
+SELECT CAST(member_id AS BIGINT) AS member_id,
+       CAST(cluster_rep AS BIGINT) AS cluster_rep,
+       CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+FROM __rep
+"""

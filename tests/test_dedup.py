@@ -315,3 +315,77 @@ def test_phash_hamming_validates_params():
         D.phash_hamming_pairs(None, k=4, bands=4)
     with pytest.raises(ValueError):
         D.phash_hamming_pairs(None, k=3, bands=5)
+
+
+# ---------------------------------------------------------------------------
+# pair_clusters: pairs -> connected components with min-id reps
+# ---------------------------------------------------------------------------
+
+def _clusters(spark, pairs):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    rows = D.pair_clusters(df).collect()
+    return {r.member_id: (r.cluster_rep, r.cluster_size) for r in rows}
+
+
+@pytest.mark.spark
+def test_pair_clusters_transitive_chain(spark):
+    """Planted 3-chain: (a,b)+(b,c) with NO (a,c) pair must yield one
+    cluster {a,b,c} with the min id as keeper."""
+    got = _clusters(spark, [(10, 20), (20, 30)])
+    assert got == {10: (10, 3), 20: (10, 3), 30: (10, 3)}
+
+
+@pytest.mark.spark
+def test_pair_clusters_path_and_components(spark):
+    """Adversarial path graph (worst case for plain label propagation)
+    plus disjoint components, reversed/duplicate/self-loop input rows."""
+    n = 33
+    path = [(i + 1, i) for i in range(n - 1)]          # reversed orientation
+    path += [(5, 6), (5, 6), (7, 7)]                   # dup + self-loop
+    other = [(1000, 2000), (3000, 1000)]
+    got = _clusters(spark, path + other)
+    for i in range(n):
+        assert got[i] == (0, n), i
+    assert got[1000] == (1000, 3) and got[2000] == (1000, 3) and got[3000] == (1000, 3)
+
+
+@pytest.mark.spark
+def test_pair_clusters_clique_through_star_fallback(spark):
+    """300 identical phashes through phash_hamming_pairs with a tiny
+    max_bucket: hot buckets emit only star pairs, and pair_clusters must
+    still recover the single 300-member cluster with the min id as rep."""
+    rows = [(i, 0x0F0F0F0F) for i in range(300)]
+    ph = spark.createDataFrame(rows, "id long, phash long")
+    pairs = D.phash_hamming_pairs(ph, id_col="id", phash_col="phash",
+                                  k=3, bands=4, max_bucket=50)
+    # star fallback keeps output linear, not 300*299/2
+    n_pairs = pairs.count()
+    assert n_pairs < 1000
+    out = D.pair_clusters(pairs).collect()
+    assert len(out) == 300
+    assert {r.member_id for r in out} == set(range(300))
+    assert all(r.cluster_rep == 0 and r.cluster_size == 300 for r in out)
+
+
+@pytest.mark.spark
+def test_pair_clusters_empty_and_oracle(spark):
+    """Empty input -> empty output with the contract schema; random graph
+    matches the DuckDB recursive-CTE twin exactly."""
+    import duckdb
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = D.pair_clusters(empty)
+    assert out.columns == ["member_id", "cluster_rep", "cluster_size"]
+    assert out.count() == 0
+
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 120, size=(200, 2))]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = sorted(tuple(r) for r in D.pair_clusters(df).collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE __pairs(id_a BIGINT, id_b BIGINT)")
+    con.executemany("INSERT INTO __pairs VALUES (?, ?)", edges)
+    want = sorted(tuple(r) for r in con.execute(
+        D.pair_clusters_sql("SELECT id_a, id_b FROM __pairs")).fetchall())
+    assert got == want
