@@ -710,18 +710,17 @@ def q_tile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT quantiles of the z8 tile-size distribution — the skew diagnosis
     every hot-tile salting decision starts from. Quantile = value at rank
     ceil(q*n/100) over (cnt, x, y)-ordered tile counts (integer rank math,
-    deterministic ties). The global window runs over TILE aggregates (already
-    reduced ~4^z rows), not raw rows — at 100 TB the input to this window is
-    bounded by the tile universe, and the rank target is integer-exact."""
-    from pyspark.sql import Window
-
+    deterministic ties). Rank comes from metrics.with_global_rank
+    (range-repartition + per-partition offsets), so no task ever holds the
+    whole tile universe — the shape is zoom-independent (a plain global
+    window would push up to 268M z14 tile aggregates through one reducer)."""
     from mvt_wrangler_spark.functions import tiling
+    from mvt_wrangler_spark.functions.metrics import with_global_rank
 
     pts = _points(spark, sf_dir)
     sizes = (tiling.assign_tiles(pts, z=8, with_local=False)
              .groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt")))
-    w = Window.orderBy(F.col("cnt").asc(), F.col("x").asc(), F.col("y").asc())
-    ranked = sizes.withColumn("rn", F.row_number().over(w))
+    ranked = with_global_rank(sizes, ["cnt", "x", "y"])
     tot = sizes.agg(F.count(F.lit(1)).alias("n"))
     targets = (tot.select(F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q"), "n")
                .withColumn("target", F.expr("(q * n + 99) div 100")))

@@ -131,3 +131,28 @@ def test_cli_rejects_missing_input(tmp_path):
     from mvt_wrangler_spark.cli import main
 
     assert main(["/nonexistent/x.parquet", str(tmp_path / "o")]) == 2
+
+
+def test_with_global_rank_matches_global_window(spark):
+    """with_global_rank == a plain global-window row_number on random data,
+    and its plan contains no single-partition Exchange feeding the data-side
+    window (the P-row offset table is the only globally-ordered piece)."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mvt_wrangler_spark.functions.metrics import with_global_rank
+
+    rng = np.random.default_rng(3)
+    rows = [(int(a), int(i)) for i, a in enumerate(rng.integers(0, 50, 4000))]
+    df = spark.createDataFrame(rows, "v long, id long")
+
+    got = with_global_rank(df, ["v", "id"], num_partitions=8)
+    want = df.withColumn("rn", F.row_number().over(
+        Window.orderBy("v", "id")).cast("long"))
+    assert got.select("v", "id", "rn").subtract(want).count() == 0
+    assert want.subtract(got.select("v", "id", "rn")).count() == 0
+
+    # the data-side exchange is range(8), not SinglePartition
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
