@@ -86,6 +86,16 @@ class SnapshotTable:
             b = F.pmod(key, F.lit(self.n_buckets)).cast("int")  # hash-style
         return df.withColumn("__bucket", b)
 
+    def _committed_job_ids(self) -> set[str]:
+        """Job ids with a committed snapshot manifest — the durable replay
+        ledger (snapshot manifests are immutable and survive compaction)."""
+        out = set()
+        for fn in os.listdir(f"{self.root}/manifests"):
+            if fn.startswith("snapshot-") and fn.endswith(".json"):
+                with open(f"{self.root}/manifests/{fn}") as f:
+                    out.add(json.load(f)["job_id"])
+        return out
+
     def _marker(self, job_id: str, b: int) -> str:
         return f"{self.root}/manifests/job-{job_id}/bucket-{b}.json"
 
@@ -107,9 +117,12 @@ class SnapshotTable:
 
         if append:
             cur = self.current_snapshot()
-            if cur is not None and any(m["path"].startswith(data_dir + "/")
-                                       for m in cur["buckets"]):
-                return cur  # replayed micro-batch: already committed, no-op
+            # replayed micro-batch: already committed, no-op. The check is by
+            # COMMITTED JOB ID, not by path — compaction rewrites a batch's
+            # paths out of the current snapshot, and a path-based check would
+            # then re-append the batch's rows as duplicates on replay.
+            if cur is not None and job_id in self._committed_job_ids():
+                return cur
 
         missing = [b for b in range(self.n_buckets)
                    if not os.path.exists(self._marker(job_id, b))]
@@ -248,6 +261,131 @@ class SnapshotTable:
         snap = self.current_snapshot()
         return snap["buckets"] if snap else []
 
+    def read_diff(self, spark: SparkSession, from_id: int,
+                  to_id: int | None = None) -> DataFrame:
+        """Incremental read: rows added between snapshot `from_id` and
+        `to_id` (default: current) — Iceberg incremental-scan analog, the
+        shape an incremental dedup pipeline reads so it re-processes only
+        what changed. Pure manifest set difference: data files are immutable
+        and job-scoped, so 'new rows' == bucket entries whose paths appear
+        in `to` but not in `from` — no data comparison, no scan of the old
+        snapshot. from_id=0 diffs against the empty table. Along an append
+        chain the result is exactly the appended batches; across an
+        OVERWRITE or MERGE boundary it is the rewritten buckets' files
+        (rewritten rows reappear — file-level, not row-level, diff: exact
+        row-level diffs need a key, use merge_keys' key discipline
+        upstream)."""
+        to_id = self.current_snapshot_id() if to_id is None else to_id
+        if from_id > to_id:
+            raise ValueError(f"from_id {from_id} > to_id {to_id}")
+        to_snap = self.snapshot(to_id)
+        old_paths = set()
+        if from_id > 0:
+            old_paths = {m["path"] for m in self.snapshot(from_id)["buckets"]}
+        new_paths = [m["path"] for m in to_snap["buckets"]
+                     if m["files"] and m["path"] not in old_paths]
+        if not new_paths:
+            return self.read_at(spark, to_id).limit(0)
+        missing = [p for p in new_paths if not os.path.isdir(p)]
+        if missing:
+            raise FileNotFoundError(f"diff data vacuumed: {missing[:3]}")
+        return spark.read.parquet(*new_paths)
+
+    # -- merge / compact -------------------------------------------------------
+    def _rewrite_buckets(self, df: DataFrame, job_id: str, affected: list[int],
+                         sort_col: str, one_file_per_bucket: bool = False) -> dict:
+        """Stage `df` (already __bucket-tagged, covering exactly the affected
+        buckets), finalize markers for those buckets, and commit a snapshot
+        that keeps every UNAFFECTED bucket entry from the current snapshot.
+        The shared machinery under merge_keys and compact."""
+        spark = df.sparkSession
+        data_dir = self._job_data_dir(job_id)
+        os.makedirs(f"{self.root}/manifests/job-{job_id}", exist_ok=True)
+        if not os.path.exists(f"{data_dir}/_SUCCESS"):
+            if one_file_per_bucket:
+                # hash-partition by bucket id: every bucket collapses into
+                # exactly one task => one sorted file
+                staged = (df.repartition(self.n_buckets, "__bucket")
+                          .sortWithinPartitions("__bucket", sort_col))
+            else:
+                n_out = max(spark.sparkContext.defaultParallelism, self.n_buckets)
+                staged = (df.repartitionByRange(n_out, "__bucket", sort_col)
+                          .sortWithinPartitions("__bucket", sort_col))
+            (staged.write.partitionBy("__bucket")
+             .mode("overwrite").parquet(data_dir))
+        new_entries = {b: self._finalize_bucket(job_id, b) for b in affected}
+        cur = self.current_snapshot()
+        kept = [m for m in (cur or {}).get("buckets", [])
+                if m["bucket"] not in new_entries]
+        buckets = sorted(kept + list(new_entries.values()),
+                         key=lambda m: (m["bucket"], m["path"]))
+        return self._commit(job_id, buckets, append=False)
+
+    def merge_keys(self, df: DataFrame, key_cols: list[str], job_id: str,
+                   sort_col: str | None = None) -> dict:
+        """Keyed MERGE (upsert): rows in `df` REPLACE current rows sharing
+        their `key_cols` values; everything else is untouched — the Iceberg
+        MERGE INTO analog an incremental dedup pipeline needs to upsert
+        'seen' keys. Only buckets that receive new rows or contain colliding
+        keys are rewritten; unaffected buckets keep their existing files
+        (manifest reuse, zero IO). Replaying a committed job_id is a no-op.
+        """
+        cur = self.current_snapshot()
+        if cur is None:
+            return self.write_snapshot(df, job_id, sort_col=sort_col)
+        if job_id in self._committed_job_ids():
+            return cur  # replayed merge: already committed
+        spark = df.sparkSession
+        sort_col = sort_col or self.bucket_col
+        # pin the source batch: the merge evaluates it in several jobs
+        # (affected-bucket scan, collision scan, rewrite), and a
+        # nondeterministic input plan (limit/sample/rand) would otherwise
+        # delete one key set and insert another — silent row loss. The batch
+        # is the INCREMENT (small), not the table, so materializing is cheap.
+        df = df.localCheckpoint(eager=True)
+        keys = df.select(*key_cols).distinct()
+        new_b = self._bucketed(df)
+        cur_b = self._bucketed(self.read_current(spark))
+        aff_new = {r["__bucket"] for r in
+                   new_b.select("__bucket").distinct().collect()}
+        aff_old = {r["__bucket"] for r in
+                   cur_b.join(keys, list(key_cols), "left_semi")
+                   .select("__bucket").distinct().collect()}
+        affected = sorted(aff_new | aff_old)
+        survivors = (cur_b.filter(F.col("__bucket").isin(affected))
+                     .join(keys, list(key_cols), "left_anti"))
+        merged = survivors.unionByName(new_b)
+        return self._rewrite_buckets(merged, job_id, affected, sort_col)
+
+    def compact(self, spark: SparkSession, job_id: str,
+                target_files_per_bucket: int = 1,
+                sort_col: str | None = None) -> dict:
+        """Small-file compaction: rewrite every bucket holding more than
+        `target_files_per_bucket` files (streaming appends accrete one file
+        per micro-batch per bucket forever) into ONE sorted file per bucket;
+        buckets already within target keep their existing files untouched.
+        Rows, order, and per-bucket lineage totals are identical; the old
+        snapshots stay time-travel readable until vacuum() expires their
+        job dirs. Replaying a committed job_id is a no-op."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        if job_id in self._committed_job_ids():
+            return cur  # replayed compaction
+        files_per_bucket: dict[int, int] = {}
+        for m in cur["buckets"]:
+            files_per_bucket[m["bucket"]] = (
+                files_per_bucket.get(m["bucket"], 0) + len(m["files"]))
+        affected = sorted(b for b, n in files_per_bucket.items()
+                          if n > target_files_per_bucket)
+        if not affected:
+            return cur
+        sort_col = sort_col or self.bucket_col
+        cur_b = self._bucketed(self.read_current(spark))
+        todo = cur_b.filter(F.col("__bucket").isin(affected))
+        return self._rewrite_buckets(todo, job_id, affected, sort_col,
+                                     one_file_per_bucket=True)
+
     def vacuum(self, force: bool = False) -> list[str]:
         """Delete job data dirs not referenced by the CURRENT snapshot
         (Iceberg expire-snapshots analog). Returns removed dirs.
@@ -260,11 +398,7 @@ class SnapshotTable:
         """
         snap = self.current_snapshot()
         live = {os.path.dirname(m["path"]) for m in (snap or {}).get("buckets", [])}
-        committed_jobs = set()
-        for fn in os.listdir(f"{self.root}/manifests"):
-            if fn.startswith("snapshot-") and fn.endswith(".json"):
-                with open(f"{self.root}/manifests/{fn}") as f:
-                    committed_jobs.add(json.load(f)["job_id"])
+        committed_jobs = self._committed_job_ids()
         removed = []
         for d in sorted(os.listdir(f"{self.root}/data")):
             full = f"{self.root}/data/{d}"

@@ -84,14 +84,19 @@ def stream_phash_dedup(assigned_stream: DataFrame,
 
 
 def snapshot_sink(table_root: str, n_buckets: int = 8, key_max: int | None = None,
-                  key_min: int = 0):
+                  key_min: int = 0, compact_every: int | None = None):
     """foreachBatch writer: each micro-batch commits one APPEND snapshot,
     keyed by batch id (idempotent on replay after restart — a replayed batch
     reuses its job-scoped staging dir and markers, so no duplicate data).
 
     Each batch's files land under data/stream-batch-<id>/ and the snapshot
     references ALL batches' paths, so earlier micro-batches are never
-    clobbered — the table accumulates (incremental tile ingest)."""
+    clobbered — the table accumulates (incremental tile ingest).
+
+    compact_every=N folds the accreted per-batch files back to one file per
+    bucket every N batches (SnapshotTable.compact) — without it a long-lived
+    stream accumulates one file per bucket per micro-batch forever. The
+    compaction job id is keyed by batch id, so replays stay idempotent."""
     from ..sources.catalog import SnapshotTable
 
     table = SnapshotTable(table_root, n_buckets=n_buckets, key_max=key_max,
@@ -100,5 +105,9 @@ def snapshot_sink(table_root: str, n_buckets: int = 8, key_max: int | None = Non
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         table.write_snapshot(batch_df, job_id=f"stream-batch-{batch_id}",
                              sort_col="tile_id", append=True)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            table.compact(batch_df.sparkSession,
+                          job_id=f"stream-compact-{batch_id}",
+                          sort_col="tile_id")
 
     return _write

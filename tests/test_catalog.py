@@ -262,3 +262,102 @@ def test_range_bucket_boundaries_integer_exact(spark):
             assert got[k] == min(7, k // width), k
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+@pytest.mark.spark
+def test_read_diff_returns_exactly_the_appended_batch(spark, table):
+    b1 = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") * 37 % 997).alias("tile_id"))
+    b2 = spark.range(300, 450).select(
+        F.col("id"), (F.col("id") * 37 % 997).alias("tile_id"))
+    table.write_snapshot(b1, job_id="d1", append=True)
+    table.write_snapshot(b2, job_id="d2", append=True)
+
+    # diff(1 -> 2) is exactly batch 2; diff(0 -> 1) is batch 1; self-diff empty
+    got = {r.id for r in table.read_diff(spark, 1, 2).select("id").collect()}
+    assert got == set(range(300, 450))
+    got = {r.id for r in table.read_diff(spark, 0, 1).select("id").collect()}
+    assert got == set(range(300))
+    assert table.read_diff(spark, 2, 2).count() == 0
+    assert table.read_diff(spark, 2).count() == 0  # default to_id = current
+    with pytest.raises(ValueError):
+        table.read_diff(spark, 2, 1)
+
+
+@pytest.mark.spark
+def test_merge_keys_upsert_matches_full_recompute(spark, table):
+    # tile_id == id so bucket == id % 6 (hash bucketing): an upsert of
+    # ids = 0 mod 6 touches ONLY bucket 0
+    base = spark.range(0, 1000).select(
+        F.col("id"), F.col("id").alias("tile_id"), F.lit("old").alias("tag"))
+    table.write_snapshot(base, job_id="m0", sort_col="tile_id")
+    pre_merge_id = table.current_snapshot_id()
+    pre_paths = {m["bucket"]: m["path"] for m in table.lineage()}
+
+    # upsert: overlapping keys 0..996 step 6 (rewritten) + new keys >= 1002
+    up_ids = list(range(0, 1000, 6)) + list(range(1002, 1100, 6))
+    upsert = spark.createDataFrame([(i, i, "new") for i in up_ids],
+                                   "id long, tile_id long, tag string")
+    snap = table.merge_keys(upsert, key_cols=["id"], job_id="m1",
+                            sort_col="tile_id")
+    assert snap["total_rows"] == 1000 + len(range(1002, 1100, 6))
+
+    got = table.read_current(spark)
+    tags = {r.id: r.tag for r in got.select("id", "tag").collect()}
+    assert len(tags) == snap["total_rows"]
+    assert all(tags[i] == "new" for i in up_ids)
+    assert all(tags[i] == "old" for i in range(0, 1000) if i % 6)
+
+    # unaffected buckets keep their ORIGINAL files (manifest reuse, zero IO)
+    post_paths = {m["bucket"]: m["path"] for m in table.lineage()}
+    untouched = [b for b in post_paths
+                 if post_paths[b] == pre_paths.get(b)]
+    rewritten = [b for b in post_paths if b not in untouched]
+    assert rewritten and untouched, (rewritten, untouched)
+    assert all(p.startswith(f"{ROOT}/data/m1/") for b, p in post_paths.items()
+               if b in rewritten)
+
+    assert rewritten == [0]
+
+    # replayed merge is a no-op; time travel still sees the pre-merge table
+    again = table.merge_keys(upsert, key_cols=["id"], job_id="m1")
+    assert again["snapshot"] == snap["snapshot"]
+    old = table.read_at(spark, pre_merge_id)
+    assert old.count() == 1000
+    assert {r.tag for r in old.select("tag").distinct().collect()} == {"old"}
+
+    # vacuum keeps the base job dir (still referenced by unaffected buckets)
+    removed = table.vacuum()
+    assert removed == []
+    assert table.read_at(spark, pre_merge_id).count() == 1000
+
+
+@pytest.mark.spark
+def test_compact_folds_appended_files(spark, table):
+    for i in range(4):
+        b = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id"), (F.col("id") * 37 % 997).alias("tile_id"))
+        table.write_snapshot(b, job_id=f"a{i}", append=True)
+    pre_id = table.current_snapshot_id()
+    files_per_bucket: dict[int, int] = {}
+    for m in table.lineage():
+        files_per_bucket[m["bucket"]] = (
+            files_per_bucket.get(m["bucket"], 0) + len(m["files"]))
+    assert max(files_per_bucket.values()) > 1  # appends accreted files
+
+    snap = table.compact(spark, job_id="c1")
+    assert snap["total_rows"] == 400
+    lin = table.lineage()
+    assert len(lin) == len({m["bucket"] for m in lin})  # one entry per bucket
+    assert all(len(m["files"]) <= 1 for m in lin)
+    got = table.read_current(spark)
+    assert {r.id for r in got.select("id").collect()} == set(range(400))
+
+    # old snapshots stay time-travel readable until vacuum expires them
+    assert table.read_at(spark, pre_id).count() == 400
+    removed = table.vacuum()
+    assert removed  # the per-batch job dirs are no longer referenced
+    with pytest.raises(FileNotFoundError):
+        table.read_at(spark, pre_id)
+    # replayed compaction is a no-op; a second compact finds nothing to do
+    assert table.compact(spark, job_id="c1")["snapshot"] == snap["snapshot"]
+    assert table.compact(spark, job_id="c2")["snapshot"] == snap["snapshot"]

@@ -47,3 +47,45 @@ def test_stream_phash_dedup_across_batches(spark, tmp_path):
     # cross-batch keepers: first batch won for the overlap 25..49
     assert all(by_phash[p].startswith("a") for p in range(0, 50))
     assert all(by_phash[p].startswith("b") for p in range(50, 75))
+
+
+def test_snapshot_sink_compacts_every_n_batches(spark, tmp_path):
+    """The foreachBatch sink with compact_every folds accreted per-batch
+    files back to one file per bucket, rows intact, idempotent on replay."""
+    from pyspark.sql import functions as F
+
+    from mvt_wrangler_spark.sources.catalog import SnapshotTable
+    from mvt_wrangler_spark.streaming.stream import snapshot_sink
+
+    root = str(tmp_path / "sink")
+    write = snapshot_sink(root, n_buckets=4, compact_every=2)
+    for bid in range(4):
+        batch = spark.range(bid * 50, (bid + 1) * 50).select(
+            F.col("id"), (F.col("id") * 13 % 389).alias("tile_id"))
+        write(batch, bid)
+
+    table = SnapshotTable(root, n_buckets=4)
+    # batch 2's compaction ran; batch 3 appended after it
+    lin = table.lineage()
+    per_bucket = {}
+    for m in lin:
+        per_bucket[m["bucket"]] = per_bucket.get(m["bucket"], 0) + len(m["files"])
+    # batches 0..2 collapsed to ONE file per bucket; batch 3 appended after
+    # (a single batch may add up to 2 range-partition files per bucket)
+    assert max(per_bucket.values()) <= 3
+    compacted = [m for m in lin
+                 if m["path"].startswith(f"{root}/data/stream-compact-2/")]
+    assert compacted and all(len(m["files"]) <= 1 for m in compacted)
+    assert not any(m["path"].startswith(f"{root}/data/stream-batch-0/")
+                   or m["path"].startswith(f"{root}/data/stream-batch-1/")
+                   for m in lin)
+    got = table.read_current(spark)
+    assert {r.id for r in got.select("id").collect()} == set(range(200))
+
+    # replaying batch 2 (restart mid-stream) changes nothing
+    snap_before = table.current_snapshot_id()
+    batch2 = spark.range(100, 150).select(
+        F.col("id"), (F.col("id") * 13 % 389).alias("tile_id"))
+    write(batch2, 2)
+    assert table.current_snapshot_id() == snap_before
+    assert table.read_current(spark).count() == 200
