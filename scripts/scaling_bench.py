@@ -80,7 +80,8 @@ def measure(master: str, ncpus: int, path: str, n_runs: int = 5, mode: str = "fu
     one and corrupting the N-vs-4N efficiency measurement. First run is JIT
     warmup and excluded by the median over the remaining runs.
     """
-    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="24g")
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     out = subprocess.run(
         ["taskset", "-c", f"0-{ncpus - 1}", sys.executable,
          "/root/repo/scripts/scaling_run.py", master, path, str(n_runs), mode],
@@ -116,12 +117,18 @@ def main():
     tiny_path = generate(n_tiny)
     print(f"data ready in {time.time()-t0:.0f}s: {path}", file=sys.stderr)
 
-    payload = {"n_rows": n_rows, "n_tiny": n_tiny, "scenarios": {}}
+    payload = {"n_rows": n_rows, "n_tiny": n_tiny, "scenarios": {},
+               "timing_protocol": "noop-sink",
+               "extra_conf": os.environ.get("SPARK_GRAFT_EXTRA_CONF", ""),
+               "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")}
+    only = set(filter(None, os.environ.get("SPARK_GRAFT_MODES", "").split(",")))
     for mode, desc in (
         ("full", "assign(z10) + PIP mask + feature/tag filter + H3/S2 encode + phash dedup agg"),
         ("full_packed", "FLAGSHIP: full with phash_dedup_packed (single-long group key + numeric keeper + single payload agg — narrow shuffle rows)"),
         ("compute", "same minus high-cardinality dedup (per-tile stats agg instead)"),
     ):
+        if only and mode not in only:
+            continue
         results = {}
         for master, ncpus in (("local[8]", 8), ("local[32]", 32)):
             # fresh local[32] JVMs can need 4+ runs to JIT-settle (round-2
