@@ -28,8 +28,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-def _count(df) -> int:
-    return df.count()
+def _force(df) -> None:
+    """Materialize EVERY output column through the noop DSv2 sink.
+
+    A count() action lets Catalyst prune everything not needed for row
+    existence — aggregate values, and for projection-shaped queries the
+    entire operator (tile_assign under count() optimized to a bare parquet
+    row count; the 80M-group dedup scenario dropped its keeper/payload
+    aggregates AND the H3/S2 encodes feeding them). Rounds 1-3 timed with
+    count() and therefore under-measured those paths; round 4 switches to
+    the noop sink (timing_protocol=noop-sink in the output) — the honest
+    action a real pipeline performs, minus the bytes-on-disk."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def flagship_rows_per_sec(spark, sf_dir: str) -> tuple[float, int, float]:
@@ -39,15 +49,16 @@ def flagship_rows_per_sec(spark, sf_dir: str) -> tuple[float, int, float]:
     from mvt_wrangler_spark.sources.points import synth_points
 
     n_in = synth_points(spark, sf_dir).count()  # warm scan, not measured
-    _count(e.q_pipeline_e2e(spark, sf_dir))  # JIT warmup, discarded
+    _force(e.q_pipeline_e2e(spark, sf_dir))  # JIT warmup, discarded
     # median of 3 measured runs (BENCH/BASELINE.md protocol: JIT warmup is
     # 2-5x on run 1-2; measuring it benchmarks the compiler, not the engine)
-    times, n_out = [], 0
+    times = []
     for _ in range(3):
         t0 = time.time()
-        n_out = _count(e.q_pipeline_e2e(spark, sf_dir))
+        _force(e.q_pipeline_e2e(spark, sf_dir))
         times.append(time.time() - t0)
     dt = sorted(times)[1]
+    n_out = e.q_pipeline_e2e(spark, sf_dir).count()  # untimed
     return n_in / dt, n_out, dt
 
 
@@ -74,6 +85,9 @@ def main() -> None:
         "ann_topk_lsh", "minhash_lsh", "cell_encode", "tile_encode",
         "embed_neardup_lsh", "simhash", "thumb_stats", "phash_neardup",
         "kmeans_assign", "ann_topk_ivf",
+        # round-4 additions run LAST so earlier cold readings keep the same
+        # JVM/heap history as prior rounds' series
+        "neardup_clusters", "tile_quantiles",
     ]
     # two readings per query: cold (first run — the round-over-round
     # comparable series, includes codegen/JIT compile) and warm (second run —
@@ -86,11 +100,11 @@ def main() -> None:
     warm: dict[str, float] = {}
     for name in bench_set:
         t0 = time.time()
-        _count(qs[name](spark, SF_DIR))
+        _force(qs[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
     for name in bench_set:
         t1 = time.time()
-        _count(qs[name](spark, SF_DIR))
+        _force(qs[name](spark, SF_DIR))
         warm[name] = round(time.time() - t1, 3)
 
     rps, n_out, dt = flagship_rows_per_sec(spark, SF_DIR)
@@ -99,6 +113,11 @@ def main() -> None:
         "metric": "tile-assignment + spatial-join throughput",
         "value": round(rps, 1),
         "unit": "rows/sec",
+        # round-4 protocol change: every timing materializes ALL output
+        # columns (noop DSv2 sink). count()-based timings (rounds 1-3) let
+        # Catalyst prune aggregate values and whole projection chains —
+        # see BENCH/BASELINE.md "timing protocol v2" for the side-by-side.
+        "timing_protocol": "noop-sink",
         "queries": timings,
         "queries_warm": warm,
         "sf": SF_DIR,
