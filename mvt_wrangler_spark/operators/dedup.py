@@ -677,7 +677,10 @@ def pair_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     ).localCheckpoint(eager=True)
     sig = _sig(edges)
     for _ in range(max_rounds):
-        edges = _canon(_small_star(_canon(_large_star(edges)))
+        # no distinct between the stars: small-star re-orients and min-
+        # aggregates per node, so duplicate/uncanonical large-star output
+        # only pads its groupBy input — one less shuffle per round
+        edges = _canon(_small_star(_large_star(edges))
                        ).localCheckpoint(eager=True)
         new_sig = _sig(edges)
         if new_sig == sig:
