@@ -109,6 +109,11 @@ def main() -> None:
 
     rps, n_out, dt = flagship_rows_per_sec(spark, SF_DIR)
 
+    # stdout gets a COMPACT line only: the driver captures a bounded stdout
+    # tail, and round 4's full payload (cold + warm series + nested scaling
+    # dict, ~2.6 KB) outgrew it — the head of the JSON line was cut off and
+    # BENCH_r04.json recorded "parsed": null. Everything beyond the core now
+    # lives in BENCH/last_run.json; stdout stays well under 2 KB.
     result = {
         "metric": "tile-assignment + spatial-join throughput",
         "value": round(rps, 1),
@@ -119,25 +124,28 @@ def main() -> None:
         # see BENCH/BASELINE.md "timing protocol v2" for the side-by-side.
         "timing_protocol": "noop-sink",
         "queries": timings,
-        "queries_warm": warm,
         "sf": SF_DIR,
         "cpus": int(CPUS) if CPUS.isdigit() else CPUS,
         "flagship_out_rows": n_out,
         "flagship_sec": round(dt, 3),
+        "detail": "BENCH/last_run.json",
     }
+    full = dict(result)
+    full["queries_warm"] = warm
 
-    # attach the latest N-vs-4N evidence: prefer the cross-session pooled
-    # figures (scripts/pool_scaling.py over BENCH/sessions/*.json — the honest
-    # protocol, no run selection), fall back to the last single session
+    # attach the latest N-vs-4N evidence: prefer the executor-per-JVM
+    # local-cluster series (a real cluster's per-executor heap regime), then
+    # the cross-session pooled single-JVM figures, then the last session
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
-    for fname, key in (("scaling_pooled.json", "pooled_median_sec"),
+    for fname, key in (("scaling_localcluster.json", "pooled_median_sec"),
+                       ("scaling_pooled.json", "pooled_median_sec"),
                        ("scaling.json", "median_sec")):
         scaling_path = os.path.join(bench_dir, fname)
         if not os.path.exists(scaling_path):
             continue
         with open(scaling_path) as f:
             sc = json.load(f)
-        result["scaling_evidence"] = {
+        full["scaling_evidence"] = {
             m: {"efficiency_8_to_32": s["scaling_efficiency_8_to_32"],
                 "efficiency_overhead_corrected":
                     s.get("scaling_efficiency_overhead_corrected"),
@@ -145,7 +153,13 @@ def main() -> None:
                 "median_sec": {k: v[key] for k, v in s["results"].items()}}
             for m, s in sc.get("scenarios", {}).items()
         }
-        result["scaling_n_rows"] = sc.get("n_rows")
+        full["scaling_n_rows"] = sc.get("n_rows")
+        full["scaling_source"] = fname
+        # stdout carries just the flat headline efficiencies
+        result["scaling_eff"] = {
+            m: s["scaling_efficiency_8_to_32"]
+            for m, s in sc.get("scenarios", {}).items()
+        }
         result["scaling_source"] = fname
         break
 
@@ -159,10 +173,22 @@ def main() -> None:
             scal[f"local[{n}]"] = {"rows_per_sec": round(r, 1), "sec": round(d, 3)}
             s.stop()
         eff = scal["local[32]"]["rows_per_sec"] / scal["local[8]"]["rows_per_sec"] / 4.0
-        result["scaling"] = scal
+        full["scaling"] = scal
+        full["scaling_efficiency_8_to_32"] = round(eff, 3)
         result["scaling_efficiency_8_to_32"] = round(eff, 3)
 
-    print(json.dumps(result))
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "last_run.json"), "w") as f:
+        json.dump(full, f, indent=1)
+
+    line = json.dumps(result)
+    if len(line) > 1900:  # belt-and-braces: never outgrow the tail capture
+        for drop in ("scaling_eff", "scaling_source", "queries"):
+            result.pop(drop, None)
+            line = json.dumps(result)
+            if len(line) <= 1900:
+                break
+    print(line)
 
 
 if __name__ == "__main__":

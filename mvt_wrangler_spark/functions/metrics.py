@@ -62,6 +62,14 @@ def with_global_rank(df: DataFrame, order_cols: list[str],
          .withColumn("__pid", F.spark_partition_id()))
     wl = Window.partitionBy("__pid").orderBy(*cols)
     d = d.withColumn("__lrn", F.row_number().over(wl))
+    # Pin ONE materialization of the range-partitioned frame. Both the offset
+    # aggregate and the final join reference this plan; range boundaries come
+    # from SAMPLING, so if Spark's exchange-reuse ever recomputed the two
+    # references separately, offsets and local ranks would come from
+    # DIFFERENT partitionings and global ranks would be silently wrong.
+    # localCheckpoint(eager) makes the shared lineage physical (same pattern
+    # as pair_clusters / merge_keys).
+    d = d.localCheckpoint(eager=True)
     offs = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = (offs.withColumn("__off", F.coalesce(F.sum("__n").over(wo), F.lit(0)))

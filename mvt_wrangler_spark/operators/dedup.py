@@ -664,25 +664,32 @@ def pair_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .union(m.select("u", F.col("m").alias("v"))))
 
-    def _sig(e: DataFrame):
-        # decimal accumulator: summing raw int64 hashes overflows ANSI long
-        r = e.agg(F.count(F.lit(1)).alias("c"),
-                  F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
-                  ).first()
-        return (r["c"], r["h"])
+    def _checkpoint_with_sig(e: DataFrame):
+        """Materialize the round's edge set and its convergence signature in
+        ONE job: the (count, hash-sum) rides the localCheckpoint pass as an
+        Observation instead of a second aggregation job. At sf0.1 the loop is
+        driver-pacing dominated (~3 visible jobs/round in round 4); this
+        halves the per-round action count. Decimal accumulator: summing raw
+        int64 hashes overflows ANSI long."""
+        from pyspark.sql import Observation
 
-    edges = _canon(
+        obs = Observation()
+        chk = e.observe(
+            obs, F.count(F.lit(1)).alias("c"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).localCheckpoint(eager=True)
+        got = obs.get  # the eager checkpoint job already completed the plan
+        return chk, (got["c"], got["h"])
+
+    edges, sig = _checkpoint_with_sig(_canon(
         pairs.select(F.col(id_a).cast("long").alias("u"),
-                     F.col(id_b).cast("long").alias("v"))
-    ).localCheckpoint(eager=True)
-    sig = _sig(edges)
+                     F.col(id_b).cast("long").alias("v"))))
     for _ in range(max_rounds):
         # no distinct between the stars: small-star re-orients and min-
         # aggregates per node, so duplicate/uncanonical large-star output
         # only pads its groupBy input — one less shuffle per round
-        edges = _canon(_small_star(_large_star(edges))
-                       ).localCheckpoint(eager=True)
-        new_sig = _sig(edges)
+        edges, new_sig = _checkpoint_with_sig(
+            _canon(_small_star(_large_star(edges))))
         if new_sig == sig:
             break
         sig = new_sig
@@ -704,6 +711,30 @@ def pair_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     return (members.join(sizes, "cluster_rep")
             .select("member_id", "cluster_rep",
                     F.col("cluster_size").cast("long").alias("cluster_size")))
+
+
+def pair_clusters_with_corpus(corpus: DataFrame, pairs: DataFrame,
+                              id_col: str = "id", id_a: str = "id_a",
+                              id_b: str = "id_b",
+                              max_rounds: int = 50) -> DataFrame:
+    """pair_clusters over the WHOLE corpus: rows with no near-dup pair come
+    back as size-1 clusters (their own rep) instead of silently vanishing —
+    the call every real dedup job makes (keep one row per cluster ==
+    `filter(member_id == cluster_rep)` keeps exactly the unique rows plus
+    one keeper per dup group). pair_clusters itself only emits nodes that
+    appear in a pair, which makes `corpus.join(clusters, ...)` without an
+    outer join a predictable row-loss mistake; this wrapper is that left
+    join done right. `id_col` values must be unique numeric row ids (the
+    same ids the pair generator used)."""
+    clusters = pair_clusters(pairs, id_a=id_a, id_b=id_b,
+                             max_rounds=max_rounds)
+    ids = corpus.select(F.col(id_col).cast("long").alias("member_id"))
+    return (ids.join(clusters, "member_id", "left")
+            .select("member_id",
+                    F.coalesce("cluster_rep", F.col("member_id"))
+                    .alias("cluster_rep"),
+                    F.coalesce("cluster_size", F.lit(1)).cast("long")
+                    .alias("cluster_size")))
 
 
 def pair_clusters_sql(pairs_src: str, id_a: str = "id_a",

@@ -52,16 +52,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_SPEC_UNSET = object()  # distinguishes "caller passed nothing" from any value
+
+
 class SnapshotTable:
-    def __init__(self, root: str, n_buckets: int = 16, bucket_col: str = "tile_id",
-                 key_max: int | None = None, key_min: int = 0):
+    def __init__(self, root: str, n_buckets=_SPEC_UNSET, bucket_col=_SPEC_UNSET,
+                 key_max=_SPEC_UNSET, key_min=_SPEC_UNSET):
         self.root = root
-        self.n_buckets = n_buckets
-        self.bucket_col = bucket_col
-        self.key_max = key_max
-        self.key_min = key_min
         os.makedirs(f"{root}/manifests", exist_ok=True)
         os.makedirs(f"{root}/data", exist_ok=True)
+        # The bucket spec is TABLE metadata, not caller choice: _bucketed() is
+        # recomputed on read-back during merge/compact rewrites, so a caller
+        # opening the table with different params than the writer would filter
+        # survivors by a DIFFERENT bucket function than the one that placed
+        # them — rows landing outside `affected` silently vanish on rewrite.
+        # The spec is therefore persisted at creation (TABLE.json) and loaded
+        # on open; explicitly passing a conflicting value raises.
+        passed = {"n_buckets": n_buckets, "bucket_col": bucket_col,
+                  "key_max": key_max, "key_min": key_min}
+        defaults = {"n_buckets": 16, "bucket_col": "tile_id",
+                    "key_max": None, "key_min": 0}
+        spec_path = f"{root}/TABLE.json"
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                spec = json.load(f)
+            conflicts = {k: (v, spec[k]) for k, v in passed.items()
+                         if v is not _SPEC_UNSET and v != spec[k]}
+            if conflicts:
+                raise ValueError(
+                    f"bucket spec mismatch for existing table {root}: "
+                    f"passed vs persisted {conflicts}; open with "
+                    f"SnapshotTable({root!r}) and the persisted spec loads")
+        else:
+            spec = {k: (defaults[k] if v is _SPEC_UNSET else v)
+                    for k, v in passed.items()}
+            tmp = spec_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(spec, f)
+            os.rename(tmp, spec_path)
+        self.n_buckets = spec["n_buckets"]
+        self.bucket_col = spec["bucket_col"]
+        self.key_max = spec["key_max"]
+        self.key_min = spec["key_min"]
 
     # -- bucket assignment ---------------------------------------------------
     def _bucketed(self, df: DataFrame) -> DataFrame:
@@ -291,6 +323,31 @@ class SnapshotTable:
             raise FileNotFoundError(f"diff data vacuumed: {missing[:3]}")
         return spark.read.parquet(*new_paths)
 
+    def read_diff_keys(self, spark: SparkSession, from_id: int, key_cols: list[str],
+                       to_id: int | None = None) -> DataFrame:
+        """Row-level incremental read: rows of `to` (default current) whose
+        `key_cols` did NOT exist in snapshot `from_id` — the keyed diff an
+        incremental consumer actually wants. read_diff() is file-level by
+        design: a MERGE or compaction rewrites whole buckets, so unchanged
+        rows in rewritten files reappear in its output. Here the file-level
+        diff is anti-joined (null-safe, so NULL keys behave like merge_keys)
+        against the `from` snapshot's key set, which removes exactly those
+        reappearances. Cost: one scan of the new files + a key-projection
+        scan of the old snapshot — the old snapshot reads only `key_cols`
+        (column-pruned), never its payload. Requires the key discipline
+        merge_keys enforces (a key maps to one row per snapshot); under that
+        discipline this equals the true row-level diff."""
+        to_id = self.current_snapshot_id() if to_id is None else to_id
+        changed = self.read_diff(spark, from_id, to_id)
+        if from_id == 0:
+            return changed
+        old_keys = (self.read_at(spark, from_id)
+                    .select(*key_cols).distinct())
+        cond = changed[key_cols[0]].eqNullSafe(old_keys[key_cols[0]])
+        for c in key_cols[1:]:
+            cond = cond & changed[c].eqNullSafe(old_keys[c])
+        return changed.join(old_keys, cond, "left_anti")
+
     # -- merge / compact -------------------------------------------------------
     def _rewrite_buckets(self, df: DataFrame, job_id: str, affected: list[int],
                          sort_col: str, one_file_per_bucket: bool = False) -> dict:
@@ -343,17 +400,38 @@ class SnapshotTable:
         # delete one key set and insert another — silent row loss. The batch
         # is the INCREMENT (small), not the table, so materializing is cheap.
         df = df.localCheckpoint(eager=True)
+        # MERGE INTO semantics require a UNIQUE source key: two batch rows
+        # sharing a key have no defined winner (Iceberg/Delta raise "multiple
+        # source rows matched"), and silently inserting both would leave the
+        # table with duplicate keys that the NEXT merge double-deletes.
+        # NULLs count as matching NULLs here (groupBy) and in the joins below
+        # (eqNullSafe), so a NULL-keyed upsert replaces prior NULL-keyed rows
+        # instead of accreting beside them.
+        dup = (df.groupBy(*key_cols).count().filter(F.col("count") > 1)
+               .limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"merge_keys: batch has duplicate key {dup[0].asDict()} — "
+                f"dedupe the source on {key_cols} first (no winner is "
+                f"defined; real MERGE INTO errors on this too)")
         keys = df.select(*key_cols).distinct()
         new_b = self._bucketed(df)
         cur_b = self._bucketed(self.read_current(spark))
+
+        def _null_safe_on(left: DataFrame):
+            cond = left[key_cols[0]].eqNullSafe(keys[key_cols[0]])
+            for c in key_cols[1:]:
+                cond = cond & left[c].eqNullSafe(keys[c])
+            return cond
+
         aff_new = {r["__bucket"] for r in
                    new_b.select("__bucket").distinct().collect()}
         aff_old = {r["__bucket"] for r in
-                   cur_b.join(keys, list(key_cols), "left_semi")
+                   cur_b.join(keys, _null_safe_on(cur_b), "left_semi")
                    .select("__bucket").distinct().collect()}
         affected = sorted(aff_new | aff_old)
-        survivors = (cur_b.filter(F.col("__bucket").isin(affected))
-                     .join(keys, list(key_cols), "left_anti"))
+        in_aff = cur_b.filter(F.col("__bucket").isin(affected))
+        survivors = in_aff.join(keys, _null_safe_on(in_aff), "left_anti")
         merged = survivors.unionByName(new_b)
         return self._rewrite_buckets(merged, job_id, affected, sort_col)
 

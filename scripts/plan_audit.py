@@ -59,6 +59,35 @@ def formatted_plan(df) -> str:
     return buf.getvalue()
 
 
+def read_schema_ncols(plan: str) -> list[int]:
+    """Top-level column count of every `ReadSchema: struct<...>` in a plan.
+
+    Splitting the struct body on EVERY comma overcounts nested types
+    (map<k,v>, struct<...>, array<struct<...>>) — only commas at bracket
+    depth 0 separate columns — and Spark truncates wide schemas to
+    `... N more fields`, which a naive split UNDERcounts. Truncated schemas
+    are reported as MAX_SCAN_COLS+1+N so they always trip the width gate."""
+    counts = []
+    for m in re.finditer(r"ReadSchema: struct<(.*)$", plan, re.MULTILINE):
+        body, depth, ncols = m.group(1), 0, 0
+        for ch in body:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                if depth == 0:
+                    break  # closing `>` of the struct itself
+                depth -= 1
+            elif ch == "," and depth == 0:
+                ncols += 1
+        if body.strip() and not body.startswith(">"):
+            ncols += 1  # k commas separate k+1 columns
+        trunc = re.search(r"(\d+) more fields", body)
+        if trunc:
+            ncols = MAX_SCAN_COLS + 1 + int(trunc.group(1))
+        counts.append(ncols)
+    return counts
+
+
 def plan_red_flags(name: str, plan: str) -> list[str]:
     """Mechanical scale red-flags in a formatted physical plan. Empty list =
     clean. Shared by the PLANS.md generator and tests/test_plans.py so plan
@@ -69,9 +98,7 @@ def plan_red_flags(name: str, plan: str) -> list[str]:
         flags.append("unexpected cartesian / broadcast-NLJ stage")
     if "SinglePartition" in plan and name not in SINGLE_PARTITION_OK:
         flags.append("single-partition exchange (global window/sort funnel)")
-    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    wide = [len([c for c in s.split(",") if c]) for s in scans
-            if len([c for c in s.split(",") if c]) > MAX_SCAN_COLS]
+    wide = [n for n in read_schema_ncols(plan) if n > MAX_SCAN_COLS]
     if wide:
         flags.append(f"unpruned parquet scan reading {max(wide)} columns")
     return flags
@@ -108,8 +135,7 @@ def main() -> None:
         # strip the per-run exprIds so the artifact diffs cleanly across runs
         plan_clean = re.sub(r"#\d+L?", "#x", plan)
 
-        scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-        scan_cols = [len([c for c in s.split(",") if c]) for s in scans]
+        scan_cols = read_schema_ncols(plan)
         # formatted mode tags codegen membership per-operator as
         # "[codegen id : N]"; count distinct spans, not the literal
         # WholeStageCodegen node name (simple-mode only)

@@ -361,3 +361,86 @@ def test_compact_folds_appended_files(spark, table):
     # replayed compaction is a no-op; a second compact finds nothing to do
     assert table.compact(spark, job_id="c1")["snapshot"] == snap["snapshot"]
     assert table.compact(spark, job_id="c2")["snapshot"] == snap["snapshot"]
+
+
+@pytest.mark.spark
+def test_bucket_spec_persisted_and_conflicts_raise(spark, table):
+    table.write_snapshot(_df(spark), job_id="s1")
+    # opening with no params loads the persisted spec (the safe read path)
+    opened = SnapshotTable(ROOT)
+    assert (opened.n_buckets, opened.bucket_col) == (6, "tile_id")
+    # matching explicit params are fine; conflicting ones raise instead of
+    # silently rewriting survivors under a different bucket function
+    SnapshotTable(ROOT, n_buckets=6, bucket_col="tile_id")
+    with pytest.raises(ValueError, match="bucket spec mismatch"):
+        SnapshotTable(ROOT, n_buckets=4)
+    with pytest.raises(ValueError, match="bucket spec mismatch"):
+        SnapshotTable(ROOT, bucket_col="id")
+    with pytest.raises(ValueError, match="bucket spec mismatch"):
+        SnapshotTable(ROOT, key_max=123)
+
+
+@pytest.mark.spark
+def test_merge_keys_duplicate_batch_keys_raise(spark, table):
+    base = spark.range(0, 100).select(
+        F.col("id"), F.col("id").alias("tile_id"), F.lit("old").alias("tag"))
+    table.write_snapshot(base, job_id="m0")
+    dup = spark.createDataFrame([(5, 5, "a"), (5, 5, "b"), (7, 7, "c")],
+                                "id long, tile_id long, tag string")
+    with pytest.raises(ValueError, match="duplicate key"):
+        table.merge_keys(dup, key_cols=["id"], job_id="mdup")
+    # the failed merge committed nothing
+    assert table.current_snapshot_id() == 1
+    assert table.read_current(spark).count() == 100
+
+
+@pytest.mark.spark
+def test_merge_keys_null_keys_replace_not_accrete(spark):
+    root = ROOT + "_null"
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        t = SnapshotTable(root, n_buckets=4, bucket_col="tile_id")
+        base = spark.createDataFrame(
+            [(None, 1, "old-null"), (10, 2, "old-10"), (20, 3, "old-20")],
+            "k long, tile_id long, tag string")
+        t.write_snapshot(base, job_id="n0")
+        up = spark.createDataFrame([(None, 5, "new-null"), (20, 6, "new-20")],
+                                   "k long, tile_id long, tag string")
+        t.merge_keys(up, key_cols=["k"], job_id="n1")
+        got = {(r.k, r.tag) for r in
+               t.read_current(spark).select("k", "tag").collect()}
+        # NULL-keyed upsert REPLACED the prior NULL-key row (null-safe match)
+        assert got == {(None, "new-null"), (10, "old-10"), (20, "new-20")}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_read_diff_keys_across_merge_boundary(spark):
+    root = ROOT + "_dk"
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        t = SnapshotTable(root, n_buckets=4, bucket_col="tile_id")
+        base = spark.range(0, 200).select(
+            F.col("id"), F.col("id").alias("tile_id"), F.lit("old").alias("tag"))
+        t.write_snapshot(base, job_id="b0")
+        from_id = t.current_snapshot_id()
+
+        # merge rewrites whole buckets: 2 updated keys + 3 genuinely new
+        up_ids = [(8, "upd"), (12, "upd"), (1000, "new"), (1004, "new"),
+                  (1008, "new")]
+        up = spark.createDataFrame([(i, i, s) for i, s in up_ids],
+                                   "id long, tile_id long, tag string")
+        t.merge_keys(up, key_cols=["id"], job_id="b1")
+
+        # file-level diff reshows every row of the rewritten buckets...
+        file_diff = t.read_diff(spark, from_id)
+        assert file_diff.count() > len(up_ids)
+        # ...the keyed diff returns ONLY the genuinely-new keys
+        got = {r.id for r in
+               t.read_diff_keys(spark, from_id, ["id"]).select("id").collect()}
+        assert got == {1000, 1004, 1008}
+        # from_id=0 is the whole current table
+        assert t.read_diff_keys(spark, 0, ["id"]).count() == 203
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

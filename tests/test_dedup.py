@@ -389,3 +389,24 @@ def test_pair_clusters_empty_and_oracle(spark):
     want = sorted(tuple(r) for r in con.execute(
         D.pair_clusters_sql("SELECT id_a, id_b FROM __pairs")).fetchall())
     assert got == want
+
+
+@pytest.mark.spark
+def test_pair_clusters_with_corpus_singletons(spark):
+    """Unpaired corpus rows come back as size-1 clusters (their own rep);
+    keeping `member_id == cluster_rep` yields exactly uniques + one keeper
+    per dup group."""
+    corpus = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)],
+                                  "id_a long, id_b long")
+    out = D.pair_clusters_with_corpus(corpus, pairs, id_col="id")
+    rows = {r.member_id: (r.cluster_rep, r.cluster_size)
+            for r in out.collect()}
+    assert len(rows) == 10
+    assert rows[1] == (1, 3) and rows[2] == (1, 3) and rows[3] == (1, 3)
+    assert rows[7] == (7, 2) and rows[8] == (7, 2)
+    for s in (0, 4, 5, 6, 9):
+        assert rows[s] == (s, 1)
+    keepers = {r.member_id for r in
+               out.filter(F.col("member_id") == F.col("cluster_rep")).collect()}
+    assert keepers == {0, 1, 4, 5, 6, 7, 9}

@@ -153,6 +153,15 @@ def test_with_global_rank_matches_global_window(spark):
     assert got.select("v", "id", "rn").subtract(want).count() == 0
     assert want.subtract(got.select("v", "id", "rn")).count() == 0
 
-    # the data-side exchange is range(8), not SinglePartition
-    plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
+    # the range-partitioned frame is PINNED (localCheckpoint) so the offset
+    # aggregate and the final join provably read the same partitioning —
+    # range boundaries come from sampling, and exchange-reuse recomputation
+    # would otherwise silently misalign offsets vs local ranks. The final
+    # plan therefore reads the checkpointed RDD; the range exchange lives in
+    # the checkpoint job, and no data-side SinglePartition funnel remains.
+    plan = got._jdf.queryExecution().executedPlan().toString().lower()
+    assert "existingrdd" in plan
+    # exactly ONE SinglePartition exchange: the P-row offset table's window
+    # (input-size independent); the data rows join it via broadcast
+    assert plan.count("singlepartition") == 1
+    assert "broadcast" in plan
