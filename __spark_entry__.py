@@ -338,17 +338,27 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full S2 (level 12) + H3-style (res 7) cell ids from unit-sphere xyz,
-    native codegen paths — with a BIT-EXACT DuckDB twin (the from-xyz
-    encoders are trig-free: divide/sqrt/int ops only, all IEEE-exact).
-    The lat/lng pandas-UDF encoders are pytest-covered (bit-equal kernels)."""
+    """Full S2 (level 12) + H3-style (res 7) cell ids from unit-sphere xyz
+    via the FUSED vectorized-numpy pandas UDF (one Arrow pass emits both
+    cells) — with a BIT-EXACT DuckDB twin (the from-xyz encoders are
+    trig-free: divide/sqrt/int ops only, all IEEE-exact). The native
+    codegen column twins remain pytest-covered (bit-equal on sampled
+    points) but lost the bench head-to-head: the unrolled Hilbert chain
+    exceeds JIT method limits and drops to interpreted eval (round-4
+    honest-timing finding), while the numpy kernel walks the curve through
+    a chunked 4096-entry lookup table (6 gathers for 30 levels)."""
+    from pyspark.sql import functions as F
+
     from mvt_wrangler_spark.functions import cells as C
     from mvt_wrangler_spark.sources.points import synth_xyz
 
     pts = synth_xyz(spark, sf_dir)
-    out = C.with_s2_cell_from_xyz(pts, level=12, x="x", y="y", z="z", out="s2_cell")
-    out = C.with_h3_cell_from_xyz(out, res=7, x="x", y="y", z="z", out="h3_cell")
-    return out.select("id", "s2_cell", "h3_cell")
+    out = pts.withColumn(
+        "__cells",
+        C.cells_from_xyz_column(F.col("x"), F.col("y"), F.col("z"),
+                                level=12, res=7))
+    return out.select("id", F.col("__cells.s2_cell").alias("s2_cell"),
+                      F.col("__cells.h3_cell").alias("h3_cell"))
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

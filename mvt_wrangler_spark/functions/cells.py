@@ -64,28 +64,33 @@ def _xyz(lat_deg: np.ndarray, lng_deg: np.ndarray):
     return cl * np.cos(lng), cl * np.sin(lng), np.sin(lat)
 
 
+def _face_uv_from_xyz(x: np.ndarray, y: np.ndarray, z: np.ndarray):
+    """Cube face (0..5) and valid (u,v) from unit xyz (s2 face projection).
+
+    Branch-free: per-face numerator/denominator selected with np.choose
+    (three gathers + one division) instead of six boolean-masked
+    gather/scatter passes — the masked form was the measured hot spot of
+    the S2 kernel (~half its time at 5M rows). Same formulas per face:
+      f0:+x (y/x, z/x)   f1:+y (-x/y, z/y)   f2:+z (-x/z, -y/z)
+      f3:-x (z/x, y/x)   f4:-y (z/y, -x/y)   f5:-z (-y/z, -x/z)
+    """
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(ax >= np.maximum(ay, az), 0, np.where(ay >= az, 1, 2)).astype(np.int64)
+    comp = np.choose(face, (x, y, z))
+    face = np.where(comp < 0, face + 3, face)
+    nx, ny = -x, -y
+    u = np.choose(face, (y, nx, nx, z, z, ny))
+    v = np.choose(face, (z, z, ny, y, nx, nx))
+    d = np.choose(face, (x, y, z, x, y, z))
+    u /= d
+    v /= d
+    return face, u, v
+
+
 def s2_face_uv(lat_deg: np.ndarray, lng_deg: np.ndarray):
     """Cube face (0..5) and valid (u,v) per the s2 face projection."""
     x, y, z = _xyz(np.asarray(lat_deg, np.float64), np.asarray(lng_deg, np.float64))
-    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
-    face = np.where(ax >= np.maximum(ay, az), 0, np.where(ay >= az, 1, 2)).astype(np.int64)
-    comp = np.choose(face, [x, y, z])
-    face = np.where(comp < 0, face + 3, face)
-    u = np.empty_like(x)
-    v = np.empty_like(x)
-    for f, (ue, ve, de) in enumerate([
-        (lambda: y, lambda: z, lambda: x),      # +x
-        (lambda: -x, lambda: z, lambda: y),     # +y
-        (lambda: -x, lambda: -y, lambda: z),    # +z
-        (lambda: z, lambda: y, lambda: x),      # -x
-        (lambda: z, lambda: -x, lambda: y),     # -y
-        (lambda: -y, lambda: -x, lambda: z),    # -z
-    ]):
-        m = face == f
-        if m.any():
-            u[m] = ue()[m] / de()[m]
-            v[m] = ve()[m] / de()[m]
-    return face, u, v
+    return _face_uv_from_xyz(x, y, z)
 
 
 def _st(u: np.ndarray) -> np.ndarray:
@@ -99,26 +104,77 @@ def _st(u: np.ndarray) -> np.ndarray:
     return np.where(u >= 0, pos, neg)
 
 
-def s2_cell_id(lat_deg, lng_deg, level: int = 12) -> np.ndarray:
-    """Vectorized S2 cell id at `level` (int64 array)."""
+_HILBERT_LUT_CACHE: dict[int, np.ndarray] = {}
+
+
+def _hilbert_lut(chunk: int) -> np.ndarray:
+    """Chunked Hilbert step table: entry[orient<<2c | i_bits<<c | j_bits] =
+    (pos_bits << 2) | orient_out, folding `chunk` levels of the per-level
+    kIJtoPos/kPosToOrientation recurrence into ONE gather. The same
+    acceleration the canonical s2geometry library uses (its 4-level lookup
+    tables); built here by running the level-at-a-time recurrence, so it is
+    bit-identical to it by construction. chunk=5 -> 4096 int64 entries
+    (L1-resident); the 30-level walk becomes 6 gathers instead of 60."""
+    lut = _HILBERT_LUT_CACHE.get(chunk)
+    if lut is None:
+        lut = np.zeros(4 << (2 * chunk), dtype=np.int64)
+        for o in range(4):
+            for ib in range(1 << chunk):
+                for jb in range(1 << chunk):
+                    orient, pos = o, 0
+                    for k in range(chunk - 1, -1, -1):
+                        ij = ((ib >> k) & 1) * 2 + ((jb >> k) & 1)
+                        p = int(_IJ_TO_POS[orient][ij])
+                        pos = (pos << 2) | p
+                        orient ^= int(_POS_TO_ORIENT[p])
+                    lut[(o << (2 * chunk)) | (ib << chunk) | jb] = (pos << 2) | orient
+        _HILBERT_LUT_CACHE[chunk] = lut
+    return lut
+
+
+def s2_cell_from_xyz_np(x: np.ndarray, y: np.ndarray, z: np.ndarray,
+                        level: int = 12) -> np.ndarray:
+    """S2 cell id (int64) from unit-sphere xyz arrays — the trig-free core
+    shared by s2_cell_id and the fused cell encoders. All float ops are
+    IEEE-exact (divide/sqrt/floor), so ids are bit-identical to the native
+    column path (with_s2_cell_from_xyz) and the DuckDB twin (s2_cell_sql).
+
+    Integer work stays in int64 (numpy's uint64 path mixes to float64 and
+    loses SIMD — 4-30x slower, measured round 2); only the final face<<61
+    packing runs in uint64 (3 ops) to keep the top-bit shift well-defined.
+    """
     if not 0 <= level <= _MAX_LEVEL:
         raise ValueError("level must be in [0, 30]")
-    face, u, v = s2_face_uv(lat_deg, lng_deg)
+    face, u, v = _face_uv_from_xyz(x, y, z)
     lim = (1 << _MAX_LEVEL) - 1
     i = np.clip(np.floor(_st(u) * (1 << _MAX_LEVEL)), 0, lim).astype(np.int64)
     j = np.clip(np.floor(_st(v) * (1 << _MAX_LEVEL)), 0, lim).astype(np.int64)
+    # Hilbert walk over the top `level` levels only (bits below are cleared
+    # by the truncation anyway), in chunks of <=5 levels per LUT gather
     orient = face & 1  # kSwapMask bit of the face
-    pos = np.zeros(len(face), dtype=np.uint64)
-    for k in range(_MAX_LEVEL - 1, -1, -1):
-        ij = ((i >> k) & 1) * 2 + ((j >> k) & 1)
-        p = _IJ_TO_POS[orient, ij]
-        pos = (pos << np.uint64(2)) | p.astype(np.uint64)
-        orient = orient ^ _POS_TO_ORIENT[p]
-    cell = (face.astype(np.uint64) << np.uint64(61)) | (pos << np.uint64(1)) | np.uint64(1)
-    if level < _MAX_LEVEL:
-        lsb = np.uint64(1) << np.uint64(2 * (_MAX_LEVEL - level))
-        cell = (cell & (~lsb + np.uint64(1))) | lsb  # (id & -lsb) | lsb
+    pos = np.zeros(len(face), dtype=np.int64)
+    rem, bit = level, _MAX_LEVEL
+    while rem > 0:
+        c = min(5, rem)
+        bit -= c
+        lut = _hilbert_lut(c)
+        mask = (1 << c) - 1
+        idx = (orient << (2 * c)) | (((i >> bit) & mask) << c) | ((j >> bit) & mask)
+        e = lut[idx]
+        pos = (pos << (2 * c)) | (e >> 2)
+        orient = e & 3
+        rem -= c
+    lsb_shift = 2 * (_MAX_LEVEL - level)
+    cell = ((face.astype(np.uint64) << np.uint64(61))
+            | (pos.astype(np.uint64) << np.uint64(lsb_shift + 1))
+            | np.uint64(1 << lsb_shift))
     return cell.astype(np.int64)
+
+
+def s2_cell_id(lat_deg, lng_deg, level: int = 12) -> np.ndarray:
+    """Vectorized S2 cell id at `level` (int64 array)."""
+    x, y, z = _xyz(np.asarray(lat_deg, np.float64), np.asarray(lng_deg, np.float64))
+    return s2_cell_from_xyz_np(x, y, z, level)
 
 
 def s2_parent(cell: np.ndarray, level: int) -> np.ndarray:
@@ -201,14 +257,16 @@ def _h3_rot_consts(res: int) -> tuple[float, float, float]:
     return math.cos(theta), math.sin(theta), float(_RES0_SCALE * _SQRT7 ** res)
 
 
-def h3_cell(lat_deg, lng_deg, res: int = 7) -> np.ndarray:
-    """Vectorized H3-style cell id (int64) at resolution `res` (0..13).
+def h3_cell_from_xyz_np(x: np.ndarray, y: np.ndarray, z: np.ndarray,
+                        res: int = 7) -> np.ndarray:
+    """H3-style cell id (int64) from unit-sphere xyz arrays — the trig-free
+    core shared by h3_cell and the fused cell encoders; bit-identical to
+    with_h3_cell_from_xyz and the DuckDB twin (h3_cell_sql).
 
     id layout: [sign 0][face:5][res:4][q+2^19:20][r+2^19:20] (54 bits used).
     """
     if not 0 <= res <= H3_MAX_RES:
         raise ValueError("res must be in [0, 13]")
-    x, y, z = _xyz(np.asarray(lat_deg, np.float64), np.asarray(lng_deg, np.float64))
     P = np.stack([x, y, z], axis=1)
     face = np.argmax(P @ _H3_CENTERS.T, axis=1)
     c = _H3_CENTERS[face]
@@ -226,6 +284,12 @@ def h3_cell(lat_deg, lng_deg, res: int = 7) -> np.ndarray:
     rf = (2.0 / 3.0 * ry)
     q, r = _cube_round(qf, rf)
     return _pack_h3(face.astype(np.int64), res, q, r)
+
+
+def h3_cell(lat_deg, lng_deg, res: int = 7) -> np.ndarray:
+    """Vectorized H3-style cell id (int64) at resolution `res` (0..13)."""
+    x, y, z = _xyz(np.asarray(lat_deg, np.float64), np.asarray(lng_deg, np.float64))
+    return h3_cell_from_xyz_np(x, y, z, res)
 
 
 def _pack_h3(face: np.ndarray, res: int, q: np.ndarray, r: np.ndarray) -> np.ndarray:
@@ -274,6 +338,63 @@ def h3_cell_column(lat: Column, lng: Column, res: int = 7) -> Column:
         return pd.Series(h3_cell(la.to_numpy(np.float64), ln.to_numpy(np.float64), res))
 
     return _enc(lat, lng)
+
+
+# ---------------------------------------------------------------------------
+# Fused S2+H3 encoders: ONE pandas UDF emitting both cells. Separate
+# s2_cell_column + h3_cell_column calls each pay their own Arrow round trip
+# (2x 16B lat/lng in + 8B out per row) AND each derive the lon/lat ->
+# unit-xyz projection independently (the radians/cos/sin pass). Fusing
+# halves the Arrow traffic (16B in + 16B out vs 48B total) and shares one
+# projection — this was the measured #1 line item of the 120M flagship
+# (round-4 noop-protocol timings).
+# ---------------------------------------------------------------------------
+
+def cells_column(lat: Column, lng: Column, level: int = 12,
+                 res: int = 7) -> Column:
+    """struct<s2_cell: long, h3_cell: long> from lat/lng in one Arrow pass."""
+    @pandas_udf("s2_cell long, h3_cell long")
+    def _enc(la, ln):
+        import pandas as pd
+
+        x, y, z = _xyz(la.to_numpy(np.float64), ln.to_numpy(np.float64))
+        return pd.DataFrame({
+            "s2_cell": s2_cell_from_xyz_np(x, y, z, level),
+            "h3_cell": h3_cell_from_xyz_np(x, y, z, res),
+        })
+
+    return _enc(lat, lng)
+
+
+def cells_from_xyz_column(x: Column, y: Column, z: Column, level: int = 12,
+                          res: int = 7) -> Column:
+    """struct<s2_cell: long, h3_cell: long> from unit-xyz in one Arrow pass.
+    Trig-free (divide/sqrt/floor/int ops — IEEE-exact), so ids are
+    bit-identical to the native column chains AND the DuckDB SQL twins."""
+    @pandas_udf("s2_cell long, h3_cell long")
+    def _enc(xs, ys, zs):
+        import pandas as pd
+
+        xa = xs.to_numpy(np.float64)
+        ya = ys.to_numpy(np.float64)
+        za = zs.to_numpy(np.float64)
+        return pd.DataFrame({
+            "s2_cell": s2_cell_from_xyz_np(xa, ya, za, level),
+            "h3_cell": h3_cell_from_xyz_np(xa, ya, za, res),
+        })
+
+    return _enc(x, y, z)
+
+
+def with_cells(df, level: int = 12, res: int = 7, lat: str = "lat",
+               lng: str = "lng", s2_out: str = "s2_cell",
+               h3_out: str = "h3_cell"):
+    """Both cell columns via the fused encoder (the scale path)."""
+    c = cells_column(F.col(lat), F.col(lng), level=level, res=res)
+    return (df.withColumn("__cells", c)
+            .withColumn(s2_out, F.col("__cells.s2_cell"))
+            .withColumn(h3_out, F.col("__cells.h3_cell"))
+            .drop("__cells"))
 
 
 # ---------------------------------------------------------------------------

@@ -58,13 +58,13 @@ def run_pipeline(
     if with_cells:
         from ..functions import cells as C
 
-        # pandas-UDF encoders by default (best absolute throughput: the
-        # fully-fused native chain exceeds HotSpot JIT method limits);
-        # native column twins exist (with_s2_cell_native / with_h3_cell_native)
-        # for UDF-free deployments
-        assigned = assigned.withColumn(
-            "s2_cell", C.s2_cell_column(F.col("lat"), F.col("lon"), level=s2_level)
-        ).withColumn("h3_cell", C.h3_cell_column(F.col("lat"), F.col("lon"), res=h3_res))
+        # fused pandas-UDF encoder by default (best absolute throughput:
+        # one Arrow round trip + one shared lon/lat->xyz pass for both
+        # cells; the fully-fused native chain exceeds HotSpot JIT method
+        # limits); native column twins exist (with_s2_cell_native /
+        # with_h3_cell_native) for UDF-free deployments
+        assigned = C.with_cells(assigned, level=s2_level, res=h3_res,
+                                lat="lat", lng="lon")
 
     obs = Observation("pipeline")
     assigned = assigned.observe(obs, F.count(F.lit(1)).alias("rows_in"))

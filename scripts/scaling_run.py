@@ -84,15 +84,22 @@ def main():
         # (test_native_kernels).
         from mvt_wrangler_spark.functions import cells as C
 
-        if os.environ.get("SPARK_GRAFT_CELLS", "pandas") == "native":
+        cells_mode = os.environ.get("SPARK_GRAFT_CELLS", "fused")
+        if cells_mode == "native":
             assigned = C.with_s2_cell_native(assigned, level=12, lat="lat",
                                              lng="lon", out="s2_cell")
             assigned = C.with_h3_cell_native(assigned, res=7, lat="lat",
                                              lng="lon", out="h3_cell")
-        else:
+        elif cells_mode == "pandas":
+            # round-4 shape: two independent UDFs (kept for A/B runs)
             assigned = assigned.withColumn(
                 "s2_cell", C.s2_cell_column(F.col("lat"), F.col("lon"), level=12)
             ).withColumn("h3_cell", C.h3_cell_column(F.col("lat"), F.col("lon"), res=7))
+        else:
+            # round-5 default: ONE fused UDF — one shared lon/lat->xyz pass,
+            # one Arrow round trip for both cells (the round-4 #1 line item)
+            assigned = C.with_cells(assigned, level=12, res=7,
+                                    lat="lat", lng="lon")
         # Materialize ALL output columns (noop sink): a count() action lets
         # Catalyst prune the keeper/payload aggregates AND the H3/S2 encodes
         # feeding them (verified: the optimized count plan is a bare distinct

@@ -134,3 +134,45 @@ def test_cube_round_half_up_ties():
     # (np.round half-even would give 0, 2, -0, -2, 2)
     assert list(q) == [1, 2, 0, -1, 3]
     assert list(r) == [0, 0, 0, 0, 0]
+
+
+@pytest.mark.spark
+def test_fused_cells_column_matches_separate(spark):
+    """The fused struct encoder (one Arrow pass, shared xyz) is bit-equal to
+    the two standalone columns and to the numpy kernels — from lat/lng AND
+    from unit-xyz."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(17)
+    lats = rng.uniform(-89.9, 89.9, 500)
+    lons = rng.uniform(-180.0, 180.0, 500)
+    rows = [(i, float(lons[i]), float(lats[i])) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+
+    fused = (df.withColumn("c", C.cells_column(F.col("lat"), F.col("lon"),
+                                               level=12, res=7))
+             .select("id", "c.s2_cell", "c.h3_cell").collect())
+    want_s2 = C.s2_cell_id(lats, lons, 12)
+    want_h3 = C.h3_cell(lats, lons, 7)
+    got = {r.id: (r.s2_cell, r.h3_cell) for r in fused}
+    for i in range(500):
+        assert got[i] == (want_s2[i], want_h3[i])
+
+    # with_cells wrapper produces the same two flat columns
+    flat = {r.id: (r.s2_cell, r.h3_cell)
+            for r in C.with_cells(df, level=12, res=7, lat="lat", lng="lon")
+            .select("id", "s2_cell", "h3_cell").collect()}
+    assert flat == got
+
+    # from-xyz fused twin == native codegen columns (trig-free, IEEE-exact)
+    x, y, z = C._xyz(lats, lons)
+    xdf = spark.createDataFrame(
+        [(i, float(x[i]), float(y[i]), float(z[i])) for i in range(500)],
+        "id long, x double, y double, z double")
+    fx = (xdf.withColumn("c", C.cells_from_xyz_column(
+            F.col("x"), F.col("y"), F.col("z"), level=12, res=7))
+          .select("id", "c.s2_cell", "c.h3_cell").collect())
+    nat = C.with_s2_cell_from_xyz(xdf, level=12, x="x", y="y", z="z", out="s2")
+    nat = C.with_h3_cell_from_xyz(nat, res=7, x="x", y="y", z="z", out="h3")
+    want = {r.id: (r.s2, r.h3) for r in nat.select("id", "s2", "h3").collect()}
+    assert {r.id: (r.s2_cell, r.h3_cell) for r in fx} == want
