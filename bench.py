@@ -137,7 +137,7 @@ def main() -> None:
     # local-cluster series (a real cluster's per-executor heap regime), then
     # the cross-session pooled single-JVM figures, then the last session
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
-    for fname, key in (("scaling_localcluster.json", "pooled_median_sec"),
+    for fname, key in (("scaling_localcluster.json", "median_sec"),
                        ("scaling_pooled.json", "pooled_median_sec"),
                        ("scaling.json", "median_sec")):
         scaling_path = os.path.join(bench_dir, fname)

@@ -40,8 +40,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow transport for pandas UDFs / mapInPandas (the only Python path).
+        # 64k-row batches: the vectorized numpy kernels amortize per-batch
+        # Arrow framing + Python dispatch — measured 30% on the 120M compute
+        # scenario vs the old 10k default (round 5 A/B, BENCH/BASELINE.md);
+        # ~3 MB/batch/stream at these row widths, safe for any executor size.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # Keep broadcast autodetection on; our dims (filters, admin polys) are tiny.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # 128MB splits — matches large-cluster defaults for 100TB scans.
