@@ -273,6 +273,31 @@ def q_expr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.filter(E.compile_expr(prog, ctx)).select("p_partkey")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every purchase event picks up the value of the
+    user's most recent click at-or-before it (inclusive ties, LEFT
+    semantics). Spark side is the union-stream + running-last window
+    operator (joins.asof_join — ONE key shuffle, no range-join pair
+    blowup); the oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — an
+    independent implementation of the same semantics, not a restatement of
+    ours. The right side is deduped to unique (user_id, ts) with max value
+    first, making the winner deterministic in both engines."""
+    from mvt_wrangler_spark.operators.joins import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts").agg(F.max("value").alias("v")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    out = asof_join(purchases, clicks, on="user_id",
+                    left_time="ts", right_time="ts", value_cols=["v"])
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("value").alias("purchase_value"),
+        F.col("v_r").alias("last_click_value"))
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h event-time window agg (streaming-shaped, batch-checked)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -796,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_filter": q_tag_filter,
         "expr_filter": q_expr_filter,
         "events_window": q_events_window,
+        "asof_join": q_asof_join,
         "docs_exact_dedup": q_docs_exact_dedup,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1011,6 +1037,21 @@ WHERE p_brand IN ('Brand#13', 'Brand#11', 'Brand#25')
   AND regexp_matches(p_type, 'ECONOMY|PROMO')
   AND NOT starts_with(CAST(p_size AS VARCHAR), '1')
   AND CAST(p_size AS VARCHAR) > '2'
+"""
+
+    asof_join = """
+WITH __r AS (
+  SELECT user_id, ts, max(value) AS v
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+__l AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT __l.event_id, __l.user_id, epoch_us(__l.ts) AS ts_us,
+       __l.value AS purchase_value, __r.v AS last_click_value
+FROM __l ASOF LEFT JOIN __r
+  ON __l.user_id = __r.user_id AND __l.ts >= __r.ts
 """
 
     events_window = """
@@ -1328,6 +1369,7 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "tag_filter": tag_filter,
         "expr_filter": expr_filter,
         "events_window": events_window,
+        "asof_join": asof_join,
         "docs_exact_dedup": docs_dedup,
         "text_stats": text_stats,
         "lang_id": lang_id,

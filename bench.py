@@ -85,9 +85,9 @@ def main() -> None:
         "ann_topk_lsh", "minhash_lsh", "cell_encode", "tile_encode",
         "embed_neardup_lsh", "simhash", "thumb_stats", "phash_neardup",
         "kmeans_assign", "ann_topk_ivf",
-        # round-4 additions run LAST so earlier cold readings keep the same
+        # round-4/5 additions run LAST so earlier cold readings keep the same
         # JVM/heap history as prior rounds' series
-        "neardup_clusters", "tile_quantiles",
+        "neardup_clusters", "tile_quantiles", "asof_join",
     ]
     # two readings per query: cold (first run — the round-over-round
     # comparable series, includes codegen/JIT compile) and warm (second run —

@@ -449,3 +449,63 @@ def knn_join(data: DataFrame, queries: DataFrame, k: int,
         .filter(F.col("rank") <= k)
         .select(query_id, "rank", "neighbor_id", "dist2")
     )
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_time: str = "ts", right_time: str | None = None,
+              value_cols: list[str] | None = None,
+              suffix: str = "_r") -> DataFrame:
+    """Backward as-of join: for every left row, attach the right row with
+    the greatest `right_time` <= `left_time` within the same `on` key
+    (inclusive ties, LEFT-join semantics — unmatched left rows keep NULL
+    value columns). The nearest-prior-event join every event pipeline needs
+    (last click before each purchase, last config before each reading) and
+    an operator Spark has no built-in for.
+
+    NOT a join under the hood: a join formulation needs an inequality
+    condition (range join -> O(n*m) explosion or a broadcast-only range
+    strategy). Instead both sides are UNIONED into one stream tagged
+    src=(0 right, 1 left), shuffled ONCE on the key, and a running
+    `last(value, ignorenulls)` window ordered by (time, src, value) fills
+    each left row with the latest right payload at or before it. Right
+    rows sort before left rows at equal times, which yields the inclusive
+    `>=` match; ordering by the value struct last makes duplicate
+    (key, time) right rows resolve deterministically (max struct wins) —
+    dedupe the right side on (key, time) upstream if a different winner is
+    wanted. Rows with NULL time sort first and so never match anything.
+
+    100 TB notes: cost is one hash shuffle of |L|+|R| rows plus a per-key
+    sort — map-side combinable nowhere, but no pair blowup and no driver
+    state. Each key's rows pass through one task: fine for the usual
+    many-keys regime; a single giant key (one global time series) instead
+    wants the range-partition + per-partition-carry variant of
+    with_global_rank, which this operator intentionally does not pay for.
+    DuckDB twin: native `ASOF LEFT JOIN` (semantics verified identical on
+    inclusive ties by the contract query).
+    """
+    from pyspark.sql import Window
+
+    right_time = right_time or left_time
+    value_cols = value_cols or [c for c in right.columns
+                                if c not in {on, right_time}]
+    vtype = None
+    r = right.select(
+        F.col(on).alias("__k"), F.col(right_time).alias("__t"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("__v"),
+        F.lit(0).alias("__src"))
+    vtype = r.schema["__v"].dataType
+    lcols = list(left.columns)
+    l_ = left.select(
+        *lcols, F.col(on).alias("__k"), F.col(left_time).alias("__t"),
+        F.lit(None).cast(vtype).alias("__v"), F.lit(1).alias("__src"))
+    r_full = r.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        "__k", "__t", "__v", "__src")
+    u = l_.unionByName(r_full)
+    w = (Window.partitionBy("__k").orderBy("__t", "__src", "__v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    u = u.withColumn("__m", F.last("__v", ignorenulls=True).over(w))
+    out = u.filter(F.col("__src") == 1)
+    for c in value_cols:
+        out = out.withColumn(c + suffix, F.col(f"__m.{c}"))
+    return out.drop("__k", "__t", "__v", "__src", "__m")

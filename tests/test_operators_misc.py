@@ -165,3 +165,46 @@ def test_with_global_rank_matches_global_window(spark):
     # (input-size independent); the data rows join it via broadcast
     assert plan.count("singlepartition") == 1
     assert "broadcast" in plan
+
+
+@pytest.mark.spark
+def test_asof_join_semantics(spark):
+    """Backward as-of: inclusive ties, LEFT semantics, deterministic dup
+    winner (max value struct), NULL-time rows never match."""
+    from pyspark.sql import functions as F
+
+    from mvt_wrangler_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (1, 20, 250.0),  # dup (key, t)
+         (2, 50, 900.0)],
+        "k long, t long, v double")
+    left = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 10), (3, 1, 20), (4, 1, 25),
+         (5, 2, 49), (6, 2, 50), (7, 3, 99), (8, 1, None)],
+        "id long, k long, t long")
+    out = {r.id: r.v_r for r in
+           asof_join(left, right, on="k", left_time="t", right_time="t",
+                     value_cols=["v"]).collect()}
+    assert out[1] is None          # before any right row
+    assert out[2] == 100.0         # inclusive >= at t=10
+    assert out[3] == 250.0         # dup (1,20): max struct wins
+    assert out[4] == 250.0
+    assert out[5] is None
+    assert out[6] == 900.0         # inclusive tie
+    assert out[7] is None          # key with no right rows at all
+    assert out[8] is None          # NULL left time matches nothing
+
+    # multiple value columns ride one struct; row count preserved (LEFT)
+    r2 = right.withColumn("w", F.col("v") * 2)
+    got = asof_join(left, r2, on="k", left_time="t", right_time="t",
+                    value_cols=["v", "w"])
+    assert got.count() == left.count()
+    row = {r.id: (r.v_r, r.w_r) for r in got.collect()}[3]
+    assert row == (250.0, 500.0)
+
+    # plan shape: ONE key-partitioned window, no SinglePartition funnel,
+    # no join node at all
+    plan = got._jdf.queryExecution().executedPlan().toString().lower()
+    assert "singlepartition" not in plan
+    assert "sortmergejoin" not in plan and "broadcasthashjoin" not in plan
