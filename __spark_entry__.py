@@ -485,6 +485,18 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     max_bucket=1000)
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via the AllPairs prefix filter
+    (slim candidate join, arrays re-attached post-dedup). The DuckDB oracle
+    is a BRUTE-FORCE cross join — an independent implementation that
+    adversarially verifies the prefix filter's completeness."""
+    from mvt_wrangler_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
+                                 shingle=5, threshold=0.4)
+
+
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed embedding near-dup (the >1e6-vector scale path):
     bucket equi-join candidates + exact int64 cosine refine, no N^2 stage."""
@@ -828,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
         "cell_encode": q_cell_encode,
         "sessionize": q_sessionize,
         "quality_score": q_quality_score,
@@ -1319,6 +1332,7 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
     from mvt_wrangler_spark.operators.dedup import (
         embedding_lsh_sql,
         minhash_lsh_sql,
+        ngram_jaccard_sql,
         simhash_sql_expr,
     )
 
@@ -1347,6 +1361,8 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "cell_encode": cell_encode,
         "tile_encode": tile_encode,
         "minhash_lsh": minhash_lsh,
+        "ngram_jaccard": ngram_jaccard_sql("documents", "doc_id", "text",
+                                           shingle=5, threshold=0.4),
         "simhash": simhash,
         "embed_neardup_lsh": embed_lsh,
         "doc_fingerprint": doc_fp,

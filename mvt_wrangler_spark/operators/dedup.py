@@ -276,6 +276,177 @@ SELECT DISTINCT id_a, id_b FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard all-pairs (prefix-filtered AllPairs / PPJoin family)
+# ---------------------------------------------------------------------------
+
+def _jaccard_fraction(threshold: float) -> tuple[int, int]:
+    """Exact rational (num, den) for the Jaccard threshold.
+
+    All threshold comparisons run in int64 on BOTH engines (Spark and the
+    DuckDB oracle): `den * n_common >= num * n_union`. A float compare would
+    differ between engines — DuckDB parses `0.4` as DECIMAL, Spark as DOUBLE —
+    exactly on the boundary cases a dedup threshold exists to decide.
+    limit_denominator keeps the products well inside int64 for any real
+    shingle-set size (den <= 10^6, n <= ~10^9 shingles would still overflow;
+    documents cap at text length, so num*n_union < 10^6 * 10^7 << 2^63).
+    """
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(10**6)
+    if not (0 < fr <= 1):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    return fr.numerator, fr.denominator
+
+
+def shingle_set_column(text_col: Column, shingle: int = 5) -> Column:
+    """array<long>: sorted DISTINCT mod-P shingle hashes of the text.
+
+    One Arrow batch per partition; np.unique gives the sorted set. Shares
+    _shingle_hashes_np with minhash/simhash so the DuckDB twin
+    (list_sort(list_distinct(...)) over shingle_hashes_sql_expr) is
+    bit-identical.
+    """
+
+    @pandas_udf("array<long>")
+    def _sets(texts: pd.Series) -> pd.Series:
+        return pd.Series([np.unique(_shingle_hashes_np(t, shingle)) for t in texts])
+
+    return _sets(text_col)
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        shingle: int = 5, threshold: float = 0.4) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs: J(A,B) >= threshold, no sampling.
+
+    Returns (id_a, id_b, n_common, n_union) with id_a < id_b — n_common/n_union
+    IS the exact Jaccard similarity of the two documents' distinct shingle
+    sets (MinHash-LSH only estimates it; this operator is the exact
+    counterpart the training-data mandate lists separately).
+
+    Scale shape — the AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07;
+    MapReduce formulation: Vernica et al., SIGMOD'10), pure DataFrame ops:
+      1. distinct shingle sets per doc (one Arrow pass, np.unique)
+      2. global shingle document-frequencies (groupBy count — ONE shuffle
+         over total shingle occurrences)
+      3. each doc's set re-ordered ascending by (df, shingle): rarest tokens
+         first, a total order shared by all docs
+      4. PREFIX index: only the first  n - ceil(t*n) + 1  tokens of each doc
+         are exploded into the candidate join. Lemma (Chaudhuri/Ganti/
+         Kaushik, ICDE'06): under any common total order, |A^B| >= a implies
+         the first |A|-a+1 of A and first |B|-a+1 of B share a token. With
+         J >= t, |A^B| >= ceil(t*max(|A|,|B|)), so these prefixes suffice —
+         NO candidate with J >= t is missed, while stop-grams shared by
+         every boilerplate doc (the quadratic blowup in a naive
+         explode-join) land in suffixes and never generate pairs.
+      5. equi-join prefix-on-prefix (id_a < id_b, plus the length filter
+         den*|B| >= num*|A| both ways: J >= t forces t*|A| <= |B|) on SLIM
+         rows — (id, n, tok) only — aggregated to distinct pairs, THEN the
+         full sets are re-attached by two id-equi-joins and verified exactly
+         via np.intersect1d.
+    All threshold math is integer (see _jaccard_fraction) — the DuckDB
+    brute-force oracle (ngram_jaccard_sql) matches bit-for-bit, and it is an
+    INDEPENDENT implementation (cross join + list_intersect, no prefix
+    logic), so it adversarially checks the filter's completeness.
+
+    Shuffle discipline (measured, sf0.01): Vernica et al.'s record-carrying
+    variant (full token arrays riding the prefix join) was 289 s here —
+    every shared prefix token duplicates ~doc-size arrays into the
+    dedup shuffle, quadratic-ish bytes on boilerplate-heavy corpora. The
+    slim join + two array re-attach joins is 24x faster: the wide arrays
+    cross the wire once per SURVIVING candidate side, not once per shared
+    token. `ordered` is pinned with localCheckpoint (the [[with-global-rank]]
+    exchange-reuse lesson, ADVICE r4): it feeds both join sides and both
+    re-attach sides, and sampling-dependent recomputation must not produce
+    different df-orders between them.
+    """
+    num, den = _jaccard_fraction(threshold)
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        shingle_set_column(F.col(text_col), shingle).alias("toks"),
+    ).withColumn("n", F.size("toks").cast("long"))
+
+    tok = docs.select("id", "n", F.explode("toks").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tdf"))
+    ordered = (
+        tok.join(freq, on="tok")
+        .groupBy("id")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(tdf, tok))), s -> s.tok)")
+            .alias("otoks"),
+            F.first("n").alias("n"),
+        )
+    ).localCheckpoint(eager=True)
+    # prefix length p = n - ceil(t*n) + 1, integer-exact:
+    # ceil(num*n/den) = (num*n + den - 1) div den
+    pre = ordered.select(
+        "id", "n",
+        F.explode(
+            F.slice(
+                F.col("otoks"), F.lit(1),
+                F.expr(f"CAST(n - (n * {num} + {den} - 1) DIV {den} + 1 AS INT)"),
+            )
+        ).alias("tok"),
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    slim = (
+        a.join(b, on="tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter((F.col("a.n") * num <= F.col("b.n") * den)
+                & (F.col("b.n") * num <= F.col("a.n") * den))
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__shared_prefix"))
+        .drop("__shared_prefix")
+    )
+    toks = ordered.select("id", "otoks")
+    cand = (
+        slim
+        .join(toks.select(F.col("id").alias("id_a"),
+                          F.col("otoks").alias("toks_a")), on="id_a")
+        .join(toks.select(F.col("id").alias("id_b"),
+                          F.col("otoks").alias("toks_b")), on="id_b")
+    )
+
+    @pandas_udf("long")
+    def _ncommon(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series([
+            len(np.intersect1d(np.asarray(x, dtype=np.int64),
+                               np.asarray(y, dtype=np.int64), assume_unique=True))
+            for x, y in zip(ta, tb)
+        ], dtype=np.int64)
+
+    return (
+        cand.withColumn("n_common", _ncommon("toks_a", "toks_b"))
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        .filter(F.col("n_common") * den >= F.col("n_union") * num)
+        .select("id_a", "id_b", "n_common", "n_union")
+    )
+
+
+def ngram_jaccard_sql(table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text", shingle: int = 5,
+                      threshold: float = 0.4) -> str:
+    """DuckDB BRUTE-FORCE oracle for ngram_jaccard_pairs: every pair, exact
+    list_intersect — independently verifies the prefix filter lost nothing."""
+    num, den = _jaccard_fraction(threshold)
+    sh = shingle_hashes_sql_expr(text_col, shingle)
+    return f"""
+WITH __s AS (
+  SELECT {id_col} AS id, list_sort(list_distinct({sh})) AS toks FROM {table}),
+__n AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS n FROM __s),
+__p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_common,
+         a.n + b.n AS n_sum
+  FROM __n a JOIN __n b ON a.id < b.id)
+SELECT id_a, id_b, n_common, n_sum - n_common AS n_union
+FROM __p WHERE n_common * {den} >= (n_sum - n_common) * {num}
+"""
+
+
 def simhash64(text_col: Column, shingle: int = 4) -> Column:
     """62-bit SimHash over character shingles — vectorized numpy bit-vote.
 

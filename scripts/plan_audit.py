@@ -39,6 +39,7 @@ AUDIT = [
     ("image_ahash_neardup", "bytes -> decode -> aHash -> hamming band join chain"),
     ("tile_quantiles", "exact quantiles via range-repartitioned global rank"),
     ("asof_join", "union-stream as-of join: one key shuffle, no range-join blowup"),
+    ("ngram_jaccard", "exact Jaccard: slim prefix join, arrays re-attached post-dedup"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage

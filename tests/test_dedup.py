@@ -410,3 +410,47 @@ def test_pair_clusters_with_corpus_singletons(spark):
     keepers = {r.member_id for r in
                out.filter(F.col("member_id") == F.col("cluster_rep")).collect()}
     assert keepers == {0, 1, 4, 5, 6, 7, 9}
+
+
+@pytest.mark.spark
+def test_ngram_jaccard_matches_bruteforce_oracle(spark):
+    """Prefix-filter completeness, adversarially: the DuckDB oracle is a
+    full cross join with no prefix logic — any candidate the AllPairs
+    prefix drops incorrectly shows up as an oracle-only pair."""
+    import duckdb
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    for thr in (0.3, 0.5):
+        got = sorted((r.id_a, r.id_b, r.n_common, r.n_union)
+                     for r in D.ngram_jaccard_pairs(
+                         docs, "doc_id", "text", shingle=5,
+                         threshold=thr).collect())
+        want = sorted(map(tuple, con.execute(D.ngram_jaccard_sql(
+            "documents", "doc_id", "text", 5, thr)).fetchall()))
+        assert got == want, f"threshold {thr}"
+        assert len(got) > 0, "fixture should contain near-dup documents"
+
+
+@pytest.mark.spark
+def test_ngram_jaccard_threshold_boundary_exact(spark):
+    """J exactly == threshold is INCLUDED (>=), decided in integer math.
+    Planted: A/B share 2 of 3 shingles -> J = 1/2 exactly; C is disjoint."""
+    rows = [(1, "abcdef"),   # shingles(4): abcd bcde cdef
+            (2, "abcdex"),   # shingles(4): abcd bcde cdex -> J(1,2)=2/4=0.5
+            (3, "zzzzzz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    at = D.ngram_jaccard_pairs(df, "doc_id", "text", shingle=4,
+                               threshold=0.5).collect()
+    assert [(r.id_a, r.id_b, r.n_common, r.n_union) for r in at] == [(1, 2, 2, 4)]
+    above = D.ngram_jaccard_pairs(df, "doc_id", "text", shingle=4,
+                                  threshold=0.51).collect()
+    assert above == []
+    # identical docs: J = 1.0 survives threshold=1.0
+    dup = spark.createDataFrame([(1, "hello world"), (2, "hello world")],
+                                "doc_id long, text string")
+    full = D.ngram_jaccard_pairs(dup, "doc_id", "text", shingle=4,
+                                 threshold=1.0).collect()
+    assert [(r.id_a, r.id_b) for r in full] == [(1, 2)]
