@@ -486,15 +486,19 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs via the AllPairs prefix filter
-    (slim candidate join, arrays re-attached post-dedup). The DuckDB oracle
-    is a BRUTE-FORCE cross join — an independent implementation that
-    adversarially verifies the prefix filter's completeness."""
+    """EXACT n-gram Jaccard near-dup pairs via the AllPairs prefix filter +
+    PPJoin position filter (slim candidate join, arrays re-attached
+    post-dedup). t=0.8 is the realistic exact-dedup operating point; at low
+    thresholds a boilerplate corpus degenerates toward all-pairs (9.7M of
+    12.5M pairs were candidates at t=0.4/sf0.1 — inherent to EXACT Jaccard;
+    minhash_lsh is the low-threshold scale path). The DuckDB oracle is a
+    BRUTE-FORCE cross join — an independent implementation that adversarially
+    verifies the two filters' completeness."""
     from mvt_wrangler_spark.operators import dedup as D
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return D.ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
-                                 shingle=5, threshold=0.4)
+                                 shingle=5, threshold=0.8)
 
 
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1362,7 +1366,7 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "tile_encode": tile_encode,
         "minhash_lsh": minhash_lsh,
         "ngram_jaccard": ngram_jaccard_sql("documents", "doc_id", "text",
-                                           shingle=5, threshold=0.4),
+                                           shingle=5, threshold=0.8),
         "simhash": simhash,
         "embed_neardup_lsh": embed_lsh,
         "doc_fingerprint": doc_fp,
