@@ -118,6 +118,30 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return J.broadcast_pip_join(spark, pts.select("id", "lon", "lat"), polys).select("id", "admin_id")
 
 
+def q_pip_join_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result contract as pip_join, via the NON-broadcast scale path
+    (operators/joins.py partitioned_pip_join): polygon tile-cover equi-join +
+    salted cogrouped exact refine — the regime for polygon layers too large
+    to broadcast (reference only ever broadcasts its filter geometries,
+    data.rs:189-230; this is the 100 TB generalization). The SAME half-plane
+    DuckDB oracle as pip_join checks it, so broadcast and partitioned paths
+    are pinned to one contract."""
+    import numpy as np
+
+    from mvt_wrangler_spark.operators import joins as J
+    from mvt_wrangler_spark.sources.points import PIP_POLYGONS
+
+    pts = _points(spark, sf_dir)
+    rows = [(pid, [np.asarray(v, dtype=float)[:, 0].tolist()],
+                  [np.asarray(v, dtype=float)[:, 1].tolist()])
+            for pid, v in PIP_POLYGONS]
+    polys = spark.createDataFrame(
+        rows, "admin_id string, xs array<array<double>>, ys array<array<double>>")
+    return J.partitioned_pip_join(
+        pts.select("id", "lon", "lat"), polys, z=6,
+        poly_id_col="admin_id", n_salt=4).select("id", "admin_id")
+
+
 def q_intersects_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact geometry x geometry intersects join (J2 generalized): mixed
     Point/LineString/Polygon features vs broadcast admin polygons
@@ -485,6 +509,26 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     max_bucket=1000)
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/joins.py interval_join):
+    every event vs deterministic ad-exposure-style windows derived from the
+    click events ([ts, ts + (event_id%7+1) min]). Bucketed equi-join + exact
+    refine — NO BroadcastNestedLoopJoin in the plan (gate-audited); the
+    DuckDB oracle is the naive inequality join, an independent
+    implementation that checks cover completeness at bucket edges."""
+    from mvt_wrangler_spark.operators.joins import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = ev.select(F.col("event_id").alias("pid"), us.alias("t"))
+    iv = (ev.filter(F.col("event_type") == "click")
+            .select(F.col("event_id").alias("interval_id"), us.alias("lo"),
+                    (us + (F.col("event_id") % 7 + 1) * 60_000_000).alias("hi")))
+    out = interval_join(pts, iv, point_col="t", start_col="lo", end_col="hi",
+                        bucket_width=600_000_000)  # 10-min buckets
+    return out.select("pid", "interval_id")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via the AllPairs prefix filter +
     PPJoin position filter (slim candidate join, arrays re-attached
@@ -828,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_rollup": q_pyramid_rollup,
         "tile_stats_salted": q_tile_stats_salted,
         "pip_join": q_pip_join,
+        "pip_join_partitioned": q_pip_join_partitioned,
         "intersects_join": q_intersects_join,
         "type_filter": q_type_filter,
         "knn_join": q_knn_join,
@@ -838,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expr_filter": q_expr_filter,
         "events_window": q_events_window,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "docs_exact_dedup": q_docs_exact_dedup,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1054,6 +1100,16 @@ WHERE p_brand IN ('Brand#13', 'Brand#11', 'Brand#25')
   AND regexp_matches(p_type, 'ECONOMY|PROMO')
   AND NOT starts_with(CAST(p_size AS VARCHAR), '1')
   AND CAST(p_size AS VARCHAR) > '2'
+"""
+
+    interval_join = """
+WITH __iv AS (
+  SELECT event_id AS interval_id, epoch_us(ts) AS lo,
+         epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS hi
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id AS pid, __iv.interval_id
+FROM events e JOIN __iv ON epoch_us(e.ts) >= __iv.lo AND epoch_us(e.ts) <= __iv.hi
 """
 
     asof_join = """
@@ -1380,6 +1436,7 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "pyramid_rollup": pyramid,
         "tile_stats_salted": tile_stats,
         "pip_join": pip_join,
+        "pip_join_partitioned": pip_join,
         "intersects_join": intersects_join,
         "type_filter": type_filter,
         "knn_join": knn,
@@ -1390,6 +1447,7 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "expr_filter": expr_filter,
         "events_window": events_window,
         "asof_join": asof_join,
+        "interval_join": interval_join,
         "docs_exact_dedup": docs_dedup,
         "text_stats": text_stats,
         "lang_id": lang_id,

@@ -40,6 +40,8 @@ AUDIT = [
     ("tile_quantiles", "exact quantiles via range-repartitioned global rank"),
     ("asof_join", "union-stream as-of join: one key shuffle, no range-join blowup"),
     ("ngram_jaccard", "exact Jaccard: slim prefix join, arrays re-attached post-dedup"),
+    ("pip_join_partitioned", "non-broadcast PIP: tile-cover equi-join + cogrouped refine"),
+    ("interval_join", "range join as bucketed equi-join — must have NO nested-loop stage"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage

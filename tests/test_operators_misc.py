@@ -208,3 +208,65 @@ def test_asof_join_semantics(spark):
     plan = got._jdf.queryExecution().executedPlan().toString().lower()
     assert "singlepartition" not in plan
     assert "sortmergejoin" not in plan and "broadcasthashjoin" not in plan
+
+
+@pytest.mark.spark
+def test_interval_join_matches_bruteforce(spark):
+    """Bucketed interval join == brute-force range predicate, including
+    boundary-equal points, negative values, and bucket-edge values."""
+    import random
+
+    from mvt_wrangler_spark.operators.joins import interval_join
+
+    rng = random.Random(11)
+    pts = [(i, rng.randint(-500, 500)) for i in range(400)]
+    pts += [(1000, -100), (1001, 0), (1002, 100)]  # exact bucket edges
+    ivs = []
+    for j in range(120):
+        s = rng.randint(-500, 450)
+        ivs.append((j, s, s + rng.randint(0, 80)))
+    ivs += [(900, -100, -100), (901, 0, 0), (902, 99, 100)]  # degenerate + edge
+    p = spark.createDataFrame(pts, "pid long, t long")
+    iv = spark.createDataFrame(ivs, "iid long, lo long, hi long")
+    got = {(r.pid, r.iid) for r in interval_join(
+        p, iv, point_col="t", start_col="lo", end_col="hi",
+        bucket_width=50).collect()}
+    want = {(pid, iid) for pid, t in pts for iid, lo, hi in ivs if lo <= t <= hi}
+    assert got == want and len(want) > 500
+
+
+@pytest.mark.spark
+def test_interval_join_overflow_modes(spark):
+    from mvt_wrangler_spark.operators.joins import interval_join
+
+    p = spark.createDataFrame([(i, i * 10) for i in range(50)], "pid long, t long")
+    iv = spark.createDataFrame(
+        [(0, 40, 60), (1, -10_000, 10_000)], "iid long, lo long, hi long")
+    # error mode: the wide interval (2001 buckets at width 10) trips the cap
+    bad = interval_join(p, iv, point_col="t", start_col="lo", end_col="hi",
+                        bucket_width=10, max_buckets_per_interval=100)
+    with pytest.raises(Exception, match="max_buckets_per_interval"):
+        bad.collect()
+    # broadcast mode: wide interval routed through the broadcast arm, exact
+    got = {(r.pid, r.iid) for r in interval_join(
+        p, iv, point_col="t", start_col="lo", end_col="hi", bucket_width=10,
+        max_buckets_per_interval=100, overflow="broadcast").collect()}
+    want = {(pid, iid) for pid in range(50) for iid, lo, hi in
+            [(0, 40, 60), (1, -10_000, 10_000)] if lo <= pid * 10 <= hi}
+    assert got == want
+    # every point matches the global interval
+    assert sum(1 for _, iid in got if iid == 1) == 50
+
+
+def test_interval_join_rejects_bad_args(spark):
+    from mvt_wrangler_spark.operators.joins import interval_join
+
+    p = spark.createDataFrame([(1, 2)], "a long, t long")
+    iv = spark.createDataFrame([(1, 2, 3)], "a long, lo long, hi long")
+    with pytest.raises(ValueError, match="overlapping"):
+        interval_join(p, iv, point_col="t", start_col="lo", end_col="hi",
+                      bucket_width=10)
+    iv2 = spark.createDataFrame([(1, 2, 3)], "iid long, lo long, hi long")
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_join(p, iv2, point_col="t", start_col="lo", end_col="hi",
+                      bucket_width=0)

@@ -164,3 +164,59 @@ def test_knn_join_cells_exact_beyond_3x3(spark):
         assert [n for _, n, _ in gotq] == [i for _, i in want], qid
         for (_, _, d2), (wd2, _) in zip(gotq, want):
             assert abs(d2 - wd2) < 1e-9
+
+
+def _rings_df(spark, polys):
+    """(poly_id, Polygon) list -> (poly_id, xs, ys) DataFrame, ring 0 = exterior."""
+    rows = []
+    for pid, p in polys:
+        rings = [p.exterior] + list(p.holes)
+        rows.append((pid, [r[:, 0].tolist() for r in rings],
+                          [r[:, 1].tolist() for r in rings]))
+    return spark.createDataFrame(
+        rows, "poly_id string, xs array<array<double>>, ys array<array<double>>")
+
+
+@pytest.mark.spark
+def test_partitioned_pip_join_matches_broadcast(spark, images_rows):
+    """Non-broadcast PIP join (tile-cover equi-join + cogrouped refine) must
+    reproduce broadcast_pip_join's row set exactly on the same input."""
+    df, rows = images_rows
+    prog = FilterProgram.from_geojson(default_filter_geojson())
+    polys = [(f"adm{i}", p) for i, feat in enumerate(prog.features[:2]) for p in feat.polygons]
+    got_df = J.partitioned_pip_join(
+        df.select("image_id", "lon", "lat"), _rings_df(spark, polys), z=7,
+        id_col="image_id", n_salt=4)
+    got = {(r.image_id, r.poly_id) for r in got_df.collect()}
+    want_df = J.broadcast_pip_join(spark, df.select("image_id", "lon", "lat"), polys)
+    want = {(r.image_id, r.admin_id) for r in want_df.collect()}
+    assert got == want and len(want) > 10
+
+
+@pytest.mark.spark
+def test_partitioned_pip_join_holes(spark):
+    """Points inside a hole ring are NOT matched; grid straddles the hole."""
+    sq = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    hole = np.array([[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0]])
+    poly = G.Polygon(sq, [hole])
+    pts = [(f"p{i}_{j}", 0.5 + i, 0.5 + j) for i in range(12) for j in range(12)]
+    pdf = spark.createDataFrame(pts, "id string, lon double, lat double")
+    got = {r.id for r in J.partitioned_pip_join(
+        pdf, _rings_df(spark, [("h", poly)]), z=5, n_salt=2).collect()}
+    want = {pid for pid, lo, la in pts
+            if bool(G.points_in_polygon(np.array([lo]), np.array([la]), poly)[0])}
+    inside_hole = {f"p{i}_{j}" for i in range(4, 6) for j in range(4, 6)}
+    assert inside_hole and not (got & inside_hole)
+    assert got == want and len(want) > 50
+
+
+@pytest.mark.spark
+def test_partitioned_pip_join_tile_cap_guard(spark):
+    """A polygon whose cover exceeds max_tiles_per_poly raises at runtime."""
+    big = G.Polygon(np.array([[-170.0, -80.0], [170.0, -80.0],
+                              [170.0, 80.0], [-170.0, 80.0]]))
+    pdf = spark.createDataFrame([("p0", 0.0, 0.0)], "id string, lon double, lat double")
+    out = J.partitioned_pip_join(pdf, _rings_df(spark, [("w", big)]), z=9,
+                                 max_tiles_per_poly=16)
+    with pytest.raises(Exception, match="covers > 16 tiles"):
+        out.collect()
