@@ -159,6 +159,28 @@ def q_intersects_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "geom_type", "admin_id")
 
 
+def q_intersects_join_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result contract as intersects_join via the NON-broadcast path
+    (operators/joins.py partitioned_intersects_join): both-side tile covers,
+    slim pair dedup before arrays move, salted cogrouped exact refine.
+    Shares intersects_join's sign-product DuckDB oracle, pinning broadcast
+    and partitioned intersects to one contract."""
+    import numpy as np
+
+    from mvt_wrangler_spark.operators import joins as J
+    from mvt_wrangler_spark.sources.points import PIP_POLYGONS, synth_geoms
+
+    feats = synth_geoms(spark, sf_dir)
+    rows = [(pid, [np.asarray(v, dtype=float)[:, 0].tolist()],
+                  [np.asarray(v, dtype=float)[:, 1].tolist()])
+            for pid, v in PIP_POLYGONS]
+    polys = spark.createDataFrame(
+        rows, "admin_id string, xs array<array<double>>, ys array<array<double>>")
+    return J.partitioned_intersects_join(
+        feats, polys, z=5, poly_id_col="admin_id", n_salt=4).select(
+        "id", "geom_type", "admin_id")
+
+
 def q_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 live: a ["type"]-based DSL rule over non-point features — drop
     LineStrings whose geometry intersects the filter polygon."""
@@ -873,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_stats_salted": q_tile_stats_salted,
         "pip_join": q_pip_join,
         "pip_join_partitioned": q_pip_join_partitioned,
+        "intersects_join_partitioned": q_intersects_join_partitioned,
         "intersects_join": q_intersects_join,
         "type_filter": q_type_filter,
         "knn_join": q_knn_join,
@@ -1437,6 +1460,7 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "tile_stats_salted": tile_stats,
         "pip_join": pip_join,
         "pip_join_partitioned": pip_join,
+        "intersects_join_partitioned": intersects_join,
         "intersects_join": intersects_join,
         "type_filter": type_filter,
         "knn_join": knn,

@@ -88,7 +88,7 @@ def main() -> None:
         # round-4/5 additions run LAST so earlier cold readings keep the same
         # JVM/heap history as prior rounds' series
         "neardup_clusters", "tile_quantiles", "asof_join", "ngram_jaccard",
-        "pip_join_partitioned", "interval_join",
+        "pip_join_partitioned", "interval_join", "intersects_join_partitioned",
     ]
     # two readings per query: cold (first run — the round-over-round
     # comparable series, includes codegen/JIT compile) and warm (second run —

@@ -42,6 +42,7 @@ AUDIT = [
     ("ngram_jaccard", "exact Jaccard: slim prefix join, arrays re-attached post-dedup"),
     ("pip_join_partitioned", "non-broadcast PIP: tile-cover equi-join + cogrouped refine"),
     ("interval_join", "range join as bucketed equi-join — must have NO nested-loop stage"),
+    ("intersects_join_partitioned", "both-side tile covers + slim pair dedup + cogrouped refine"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage

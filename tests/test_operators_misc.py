@@ -270,3 +270,19 @@ def test_interval_join_rejects_bad_args(spark):
     with pytest.raises(ValueError, match="bucket_width"):
         interval_join(p, iv2, point_col="t", start_col="lo", end_col="hi",
                       bucket_width=0)
+
+
+@pytest.mark.spark
+def test_interval_join_null_endpoints_dropped(spark):
+    """NULL-endpoint intervals never match and must NOT trip the cap guard
+    (assert_true raises on NULL comparisons if they reach it)."""
+    from mvt_wrangler_spark.operators.joins import interval_join
+
+    p = spark.createDataFrame([(1, 50), (2, None)], "pid long, t long")
+    iv = spark.createDataFrame(
+        [(0, 40, 60), (1, None, 60), (2, 40, None), (3, None, None)],
+        "iid long, lo long, hi long")
+    got = {(r.pid, r.iid) for r in interval_join(
+        p, iv, point_col="t", start_col="lo", end_col="hi",
+        bucket_width=10, max_buckets_per_interval=5).collect()}
+    assert got == {(1, 0)}

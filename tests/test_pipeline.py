@@ -220,3 +220,25 @@ def test_partitioned_pip_join_tile_cap_guard(spark):
                                  max_tiles_per_poly=16)
     with pytest.raises(Exception, match="covers > 16 tiles"):
         out.collect()
+
+
+@pytest.mark.spark
+def test_partitioned_intersects_join_matches_broadcast(spark):
+    """Distributed intersects join == broadcast intersects join on the same
+    mixed Point/LineString/Polygon features and holed polygons."""
+    from mvt_wrangler_spark.sources.points import PIP_POLYGONS, synth_geoms
+
+    feats = synth_geoms(spark, "/root/testdata/sf0.001")
+    polys = [(pid, G.Polygon(np.array(v))) for pid, v in PIP_POLYGONS]
+    # add a holed polygon to exercise ring handling in the partitioned path
+    sq = np.array([[100.0, -20.0], [140.0, -20.0], [140.0, 20.0], [100.0, 20.0]])
+    hole = np.array([[115.0, -5.0], [125.0, -5.0], [125.0, 5.0], [115.0, 5.0]])
+    polys = polys + [("holed", G.Polygon(sq, [hole]))]
+
+    got_df = J.partitioned_intersects_join(
+        feats, _rings_df(spark, polys), z=5, n_salt=4)
+    got = {(r.id, r.geom_type, r.poly_id) for r in got_df.collect()}
+    want_df = J.broadcast_intersects_join(spark, feats, polys)
+    want = {(r.id, r.geom_type, r.admin_id) for r in want_df.collect()}
+    assert got == want and len(want) > 20
+    assert any(pid == "holed" for _, _, pid in want)
