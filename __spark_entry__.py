@@ -719,14 +719,12 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         quant=100, n_queries=3)
 
 
-def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine's full bytes-to-near-dup image chain under one value hash:
-    algebraic images (pairs share a cluster formula; the odd member gets a
-    +45 bump in one cluster-chosen zone) -> real codec encode -> ahash64
-    (decode, 8x8 integer luma pooling, mean-threshold bits) ->
-    phash_hamming_pairs banding + popcount refine. The oracle restates
-    pixels, luma, pooling, the 64-bit assembly (HUGEINT wrap), and the
-    entire hamming join in SQL."""
+def _ahash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, ahash) for the image fixture: algebraic images (pairs share a
+    cluster formula; the odd member gets a +45 bump in one cluster-chosen
+    zone) -> real codec encode -> ahash64 (decode, 8x8 integer luma
+    pooling, mean-threshold bits). Shared by the pair and cluster
+    queries so both stay on one bytes->hash stage."""
     import numpy as np
     import pandas as pd
 
@@ -761,7 +759,17 @@ def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     imgs = ids.mapInPandas(gen, "image_id string, bytes binary, fmt string, w int, h int")
-    ph = ahash64(imgs).select(F.col("image_id").cast("long").alias("id"), "ahash")
+    return ahash64(imgs).select(F.col("image_id").cast("long").alias("id"), "ahash")
+
+
+def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's full bytes-to-near-dup image chain under one value hash
+    (see _ahash_df for the bytes->decode->ahash stages). The oracle restates
+    pixels, luma, pooling, the 64-bit assembly (HUGEINT wrap), and the
+    entire hamming join in SQL."""
+    from mvt_wrangler_spark.operators.dedup import phash_hamming_pairs
+
+    ph = _ahash_df(spark, sf_dir)
     return phash_hamming_pairs(ph, id_col="id", phash_col="ahash",
                                k=3, bands=4, max_bucket=1000)
 
@@ -769,14 +777,20 @@ def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs closed into CLUSTERS — the step pairwise dedup cannot
     skip: image bytes -> ahash -> hamming band pairs (q_image_ahash_neardup)
-    -> pair_clusters transitive closure (alternating large-star/small-star
-    driver loop), yielding (member_id, cluster_rep, cluster_size) with the
-    deterministic min-id keeper. The oracle reuses the full ahash pair SQL
-    and closes it with a recursive-CTE reachability walk."""
-    from mvt_wrangler_spark.operators.dedup import pair_clusters
+    -> transitive closure, yielding (member_id, cluster_rep, cluster_size)
+    with the deterministic min-id keeper. Computed via
+    phash_hamming_clusters — the hash-collapsed closure proven (and
+    pytest-pinned) EQUAL to pair_clusters(phash_hamming_pairs(...)) but
+    never materializing the quadratic identical-hash pair set (13,154
+    images collapse to 82 distinct hashes at sf0.1). The oracle is
+    UNCHANGED: the full image-level ahash pair SQL closed with a
+    recursive-CTE reachability walk — an independent restatement that
+    adversarially checks the collapse."""
+    from mvt_wrangler_spark.operators.dedup import phash_hamming_clusters
 
-    pairs = q_image_ahash_neardup(spark, sf_dir)
-    return pair_clusters(pairs)
+    ph = _ahash_df(spark, sf_dir)
+    return phash_hamming_clusters(ph, id_col="id", phash_col="ahash",
+                                  k=3, bands=4, max_bucket=1000)
 
 
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

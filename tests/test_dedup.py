@@ -321,29 +321,31 @@ def test_phash_hamming_validates_params():
 # pair_clusters: pairs -> connected components with min-id reps
 # ---------------------------------------------------------------------------
 
-def _clusters(spark, pairs):
+def _clusters(spark, pairs, thr=65536):
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
-    rows = D.pair_clusters(df).collect()
+    rows = D.pair_clusters(df, driver_threshold=thr).collect()
     return {r.member_id: (r.cluster_rep, r.cluster_size) for r in rows}
 
 
 @pytest.mark.spark
-def test_pair_clusters_transitive_chain(spark):
+@pytest.mark.parametrize("thr", [0, 65536])  # distributed loop AND driver union-find
+def test_pair_clusters_transitive_chain(spark, thr):
     """Planted 3-chain: (a,b)+(b,c) with NO (a,c) pair must yield one
     cluster {a,b,c} with the min id as keeper."""
-    got = _clusters(spark, [(10, 20), (20, 30)])
+    got = _clusters(spark, [(10, 20), (20, 30)], thr)
     assert got == {10: (10, 3), 20: (10, 3), 30: (10, 3)}
 
 
 @pytest.mark.spark
-def test_pair_clusters_path_and_components(spark):
+@pytest.mark.parametrize("thr", [0, 65536])
+def test_pair_clusters_path_and_components(spark, thr):
     """Adversarial path graph (worst case for plain label propagation)
     plus disjoint components, reversed/duplicate/self-loop input rows."""
     n = 33
     path = [(i + 1, i) for i in range(n - 1)]          # reversed orientation
     path += [(5, 6), (5, 6), (7, 7)]                   # dup + self-loop
     other = [(1000, 2000), (3000, 1000)]
-    got = _clusters(spark, path + other)
+    got = _clusters(spark, path + other, thr)
     for i in range(n):
         assert got[i] == (0, n), i
     assert got[1000] == (1000, 3) and got[2000] == (1000, 3) and got[3000] == (1000, 3)
@@ -382,6 +384,10 @@ def test_pair_clusters_empty_and_oracle(spark):
     edges = [(int(a), int(b)) for a, b in rng.integers(0, 120, size=(200, 2))]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = sorted(tuple(r) for r in D.pair_clusters(df).collect())
+    # the distributed star loop must agree with the driver union-find path
+    got_dist = sorted(tuple(r) for r in
+                      D.pair_clusters(df, driver_threshold=0).collect())
+    assert got == got_dist
 
     con = duckdb.connect()
     con.execute("CREATE TABLE __pairs(id_a BIGINT, id_b BIGINT)")
@@ -454,3 +460,39 @@ def test_ngram_jaccard_threshold_boundary_exact(spark):
     full = D.ngram_jaccard_pairs(dup, "doc_id", "text", shingle=4,
                                  threshold=1.0).collect()
     assert [(r.id_a, r.id_b) for r in full] == [(1, 2)]
+
+
+@pytest.mark.spark
+def test_phash_hamming_clusters_equals_composed(spark):
+    """phash_hamming_clusters must equal pair_clusters(phash_hamming_pairs)
+    EXACTLY across bucket regimes: all-normal, forced-hot (tiny max_bucket,
+    star-fallback connectivity incl. identical-hash groups far from the
+    bucket rep), and mixed duplicates (cnt 1/2/large cliques)."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    nid = 0
+    # planted identical-hash cliques of varying size around base patterns
+    bases = [rng.getrandbits(64) - (1 << 63) for _ in range(12)]
+    for gi, base in enumerate(bases):
+        for _ in range(1 + (gi % 5) * 3):
+            rows.append((nid, base)); nid += 1
+        # near variants: flip 1-2 bits (within k), and 8 bits (beyond k)
+        for nb in (1, 2, 8):
+            v = base
+            for bpos in rng.sample(range(64), nb):
+                v ^= (1 << bpos)
+            v = (v + (1 << 63)) % (1 << 64) - (1 << 63)
+            rows.append((nid, v)); nid += 1
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+
+    for max_bucket in (1000, 4):  # all-normal vs heavily hot
+        composed = D.pair_clusters(D.phash_hamming_pairs(
+            df, id_col="image_id", k=3, bands=4, max_bucket=max_bucket))
+        collapsed = D.phash_hamming_clusters(
+            df, id_col="image_id", k=3, bands=4, max_bucket=max_bucket)
+        got = sorted(map(tuple, collapsed.collect()))
+        want = sorted(map(tuple, composed.collect()))
+        assert got == want, f"max_bucket={max_bucket}"
+        assert len(want) > 10
