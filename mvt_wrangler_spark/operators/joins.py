@@ -802,7 +802,29 @@ def partitioned_intersects_join(feats: DataFrame, polys: DataFrame, z: int = 9, 
     cand = (fcov.join(pcov, on=["__tx", "__ty"])
             .select("__fid", "__pid").distinct()
             .withColumn("__salt", F.pmod(F.xxhash64("__fid"), F.lit(n_salt))))
-    cand = cand.join(f, on="__fid")
+    # SCALAR vertex rows, not array columns: pyarrow's arrow_to_pandas
+    # SEGFAULTS on sliced nested-list batches in the cogroup load path
+    # (observed with pyspark 4.1.2's bundled arrow once candidate groups
+    # grow past one batch slice at sf0.1 — serializers.py:405, crash in
+    # libarrow_python). Exploding (xs, ys) to one (idx, x, y) row per
+    # vertex keeps the big cogroup side all-scalar — which is the shuffle
+    # shape you want at 10^12 rows anyway — and the kernel rebuilds the
+    # ragged arrays with one sort + np.split per group.
+    # duplicate feature ids (same id appearing on several input rows) must
+    # carry identical geometry — the id IS the geometry key here — and their
+    # multiplicity is preserved: the refine runs once per distinct id, and
+    # the output re-expands by the input row count (matching the broadcast
+    # path, which emits one row per input ROW)
+    fmult = f.groupBy("__fid").agg(F.count(F.lit(1)).alias("__mult"))
+    funiq = f.dropDuplicates(["__fid"])
+    fvert = funiq.select(
+        "__fid", "__gt",
+        F.posexplode(F.arrays_zip(F.col("__fxs"), F.col("__fys")))
+        .alias("__vi", "__v"))
+    fvert = fvert.select(
+        "__fid", "__gt", "__vi",
+        F.col("__v.__fxs").alias("__x"), F.col("__v.__fys").alias("__y"))
+    cand = cand.join(fvert, on="__fid")
 
     polyrep = pp.select(
         F.col("__pid").alias("__pid_r"), "__pxs", "__pys",
@@ -821,15 +843,26 @@ def partitioned_intersects_join(feats: DataFrame, polys: DataFrame, z: int = 9, 
                                   np.asarray(y, dtype=np.float64)])
                  for x, y in zip(xs, ys)]
         poly = G.Polygon(rings[0], rings[1:])
-        hit = G.geoms_intersect_polygon(
-            cand_pdf["__gt"].to_numpy(),
-            cand_pdf["__fxs"].tolist(), cand_pdf["__fys"].tolist(), poly)
+        # rebuild ragged per-feature vertex arrays from the scalar rows
+        cand_pdf = cand_pdf.sort_values(["__fid", "__vi"], kind="mergesort")
+        fid = cand_pdf["__fid"].to_numpy()
+        # rows are fid-sorted, so first-occurrence indices come out ascending
+        ufid, starts = np.unique(fid, return_index=True)
+        xs_list = np.split(cand_pdf["__x"].to_numpy(dtype=np.float64), starts[1:])
+        ys_list = np.split(cand_pdf["__y"].to_numpy(dtype=np.float64), starts[1:])
+        gtypes = cand_pdf["__gt"].to_numpy()[starts]
+        hit = G.geoms_intersect_polygon(gtypes, xs_list, ys_list, poly)
         if not hit.any():
             return empty
-        return pd.DataFrame({id_col: cand_pdf["__fid"].to_numpy()[hit],
-                             type_col: cand_pdf["__gt"].to_numpy()[hit],
+        return pd.DataFrame({id_col: ufid[hit],
+                             type_col: gtypes[hit],
                              poly_id_col: key[0]})
 
-    return (cand.groupBy("__pid", "__salt")
-            .cogroup(polyrep.groupBy("__pid_r", "__salt_r"))
-            .applyInPandas(_refine, out_schema))
+    refined = (cand.groupBy("__pid", "__salt")
+               .cogroup(polyrep.groupBy("__pid_r", "__salt_r"))
+               .applyInPandas(_refine, out_schema))
+    return (refined
+            .join(fmult.withColumnRenamed("__fid", id_col), on=id_col)
+            .withColumn("__rep", F.explode(
+                F.array_repeat(F.lit(1), F.col("__mult").cast("int"))))
+            .drop("__mult", "__rep"))

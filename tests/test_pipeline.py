@@ -242,3 +242,24 @@ def test_partitioned_intersects_join_matches_broadcast(spark):
     want = {(r.id, r.geom_type, r.admin_id) for r in want_df.collect()}
     assert got == want and len(want) > 20
     assert any(pid == "holed" for _, _, pid in want)
+
+
+@pytest.mark.spark
+def test_partitioned_intersects_join_duplicate_ids(spark):
+    """Duplicate feature ids (same geometry) preserve output multiplicity,
+    matching the broadcast path's one-row-per-input-row behavior."""
+    sq = np.array([[0.0, 0.0], [20.0, 0.0], [20.0, 20.0], [0.0, 20.0]])
+    polys = [("p0", G.Polygon(sq))]
+    rows = [(1, "Point", [5.0], [5.0]),
+            (1, "Point", [5.0], [5.0]),          # duplicate id x2
+            (2, "LineString", [-5.0, 25.0], [10.0, 10.0]),
+            (3, "Point", [50.0], [50.0])]        # no match
+    feats = spark.createDataFrame(
+        rows, "id long, geom_type string, xs array<double>, ys array<double>")
+    got = sorted((r.id, r.geom_type, r.poly_id) for r in
+                 J.partitioned_intersects_join(
+                     feats, _rings_df(spark, polys), z=4, n_salt=2).collect())
+    want = sorted((r.id, r.geom_type, r.admin_id) for r in
+                  J.broadcast_intersects_join(spark, feats, polys).collect())
+    assert got == want
+    assert got.count((1, "Point", "p0")) == 2
