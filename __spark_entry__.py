@@ -894,6 +894,44 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.doc_fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature ring measures in tile-local INTEGER coordinates (the MVT
+    wire space) + the drop-tiny-polygons filter every tile simplifier
+    applies at low zooms. Rings are synthesized per orderkey (vertices =
+    lineitems ordered by linenumber, coords = integer hashes mod 4096);
+    shoelace 2A, exact-rational centroid, Σ squared segment lengths, and
+    bbox are integer polynomials — bit-exact vs the DuckDB window twin,
+    order-of-summation independent. Plan: one shuffle (groupBy orderkey
+    with partial collect), then pure codegen zip_with/aggregate math."""
+    from mvt_wrangler_spark.functions import measures as M
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber").cast("long")
+    v = li.select(
+        ok.alias("gkey"), ln.alias("vord"),
+        F.pmod(ok * 7919 + ln * 104729, F.lit(4096)).alias("vx"),
+        F.pmod(ok * 104729 + ln * 7919, F.lit(4096)).alias("vy"))
+    rings = (v.groupBy("gkey")
+             .agg(F.array_sort(F.collect_list(F.struct("vord", "vx", "vy")))
+                  .alias("vs"))
+             .filter(F.size("vs") >= 3)
+             .select("gkey", F.col("vs.vx").alias("xs"),
+                     F.col("vs.vy").alias("ys")))
+    xs, ys = F.col("xs"), F.col("ys")
+    cx, cy, den = M.centroid_nums(xs, ys)
+    minx, miny, maxx, maxy = M.bbox_cols(xs, ys)
+    out = rings.select(
+        "gkey",
+        F.size("xs").cast("long").alias("n_vertices"),
+        M.shoelace_area2(xs, ys).alias("area2"),
+        cx.alias("cx_num"), cy.alias("cy_num"), den.alias("den"),
+        M.perimeter2_sum(xs, ys).alias("perim2"),
+        M.polyline_len2_sum(xs, ys).alias("len2_open"),
+        minx.alias("minx"), miny.alias("miny"),
+        maxx.alias("maxx"), maxy.alias("maxy"))
+    return out.filter(F.col("area2") >= 32)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full spatial pipeline at sf0.001 -> per-tile stats."""
     return q_pipeline_e2e(spark, "/root/testdata/sf0.001")
@@ -948,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_encode": q_tile_encode,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
+        "geom_measures": q_geom_measures,
     }
 
 
@@ -1452,6 +1491,23 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
                + " AS simhash FROM documents")
     embed_lsh = embedding_lsh_sql(quant=100, cos_num=16, cos_den=100)
 
+    from mvt_wrangler_spark.functions.measures import measures_sql
+
+    geom_measures = f"""
+WITH __v AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS gkey,
+         CAST(l_linenumber AS BIGINT) AS vord,
+         ((l_orderkey*7919 + CAST(l_linenumber AS BIGINT)*104729) % 4096 + 4096) % 4096 AS vx,
+         ((l_orderkey*104729 + CAST(l_linenumber AS BIGINT)*7919) % 4096 + 4096) % 4096 AS vy
+  FROM lineitem),
+__vk AS (SELECT * FROM __v WHERE gkey IN
+         (SELECT gkey FROM __v GROUP BY gkey HAVING count(*) >= 3)),
+{measures_sql('__vk', 'gkey', 'vx', 'vy', 'vord')}
+SELECT gkey, n_vertices, abs(a2_signed) AS area2, cx_num, cy_num,
+       3*a2_signed AS den, perim2, len2_open, minx, miny, maxx, maxy
+FROM __m WHERE abs(a2_signed) >= 32
+"""
+
     return {
         "tile_assign": tile_assign,
         "tile_assign_multi": tile_assign_multi,
@@ -1463,6 +1519,7 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
         "simhash": simhash,
         "embed_neardup_lsh": embed_lsh,
         "doc_fingerprint": doc_fp,
+        "geom_measures": geom_measures,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

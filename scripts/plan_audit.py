@@ -43,6 +43,7 @@ AUDIT = [
     ("pip_join_partitioned", "non-broadcast PIP: tile-cover equi-join + cogrouped refine"),
     ("interval_join", "range join as bucketed equi-join — must have NO nested-loop stage"),
     ("intersects_join_partitioned", "both-side tile covers + slim pair dedup + cogrouped refine"),
+    ("geom_measures", "ring measures: one collect_list shuffle + codegen array math"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage
