@@ -932,6 +932,21 @@ def q_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("area2") >= 32)
 
 
+def q_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-8 + Bing quadkey per point — the two remaining mainstream
+    cell systems alongside H3/S2/tile_id. Pure single-pass codegen (bit
+    spread chained through withColumns, base32/base4 digit concat);
+    bit-identical DuckDB twin."""
+    from mvt_wrangler_spark.functions import geocodes as GC
+    from mvt_wrangler_spark.functions import tiling
+
+    pts = _points(spark, sf_dir)
+    d = GC.with_geohash(pts, "lon", "lat", precision=8)
+    d = d.withColumn("qk", GC.quadkey(tiling.tile_x(F.col("lon"), Z),
+                                      tiling.tile_y(F.col("lat"), Z), Z))
+    return d.select("id", "geohash", "qk")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full spatial pipeline at sf0.001 -> per-tile stats."""
     return q_pipeline_e2e(spark, "/root/testdata/sf0.001")
@@ -987,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
         "geom_measures": q_geom_measures,
+        "geocode": q_geocode,
     }
 
 
@@ -1508,6 +1524,16 @@ SELECT gkey, n_vertices, abs(a2_signed) AS area2, cx_num, cy_num,
 FROM __m WHERE abs(a2_signed) >= 32
 """
 
+    from mvt_wrangler_spark.functions.geocodes import geohash_sql, quadkey_sql
+
+    gh_ctes, gh_last, gh_expr = geohash_sql("lon", "lat", 8, "__pts")
+    geocode = (
+        "WITH " + ",\n".join([pts] + gh_ctes)
+        + f""" SELECT id, {gh_expr} AS geohash,
+       {quadkey_sql(tile_x_sql('lon', Z), tile_y_sql('lat', Z), Z)} AS qk
+FROM {gh_last}"""
+    )
+
     return {
         "tile_assign": tile_assign,
         "tile_assign_multi": tile_assign_multi,
@@ -1520,6 +1546,7 @@ FROM __m WHERE abs(a2_signed) >= 32
         "embed_neardup_lsh": embed_lsh,
         "doc_fingerprint": doc_fp,
         "geom_measures": geom_measures,
+        "geocode": geocode,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

@@ -44,6 +44,7 @@ AUDIT = [
     ("interval_join", "range join as bucketed equi-join — must have NO nested-loop stage"),
     ("intersects_join_partitioned", "both-side tile covers + slim pair dedup + cogrouped refine"),
     ("geom_measures", "ring measures: one collect_list shuffle + codegen array math"),
+    ("geocode", "geohash/quadkey: zero-shuffle single-pass codegen projection"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage
