@@ -947,6 +947,30 @@ def q_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("id", "geohash", "qk")
 
 
+def q_cell_cover_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical S2 cover join: regions are SETS OF COARSE CELLS (level-6
+    parents of a deterministic point subset), points join by truncating
+    their level-12 cell to the region level — an equi-join on bit
+    arithmetic, zero geometry at join time. This is the spatial-join shape
+    that survives 100 TB: the cover set broadcasts, the fact side never
+    shuffles on geometry. Parent truncation is exact int64 shift/add, so
+    the DuckDB twin is bit-identical."""
+    from mvt_wrangler_spark.functions import cells as C
+    from mvt_wrangler_spark.sources.points import synth_xyz
+
+    pts = synth_xyz(spark, sf_dir)
+    d = pts.withColumn(
+        "__cells",
+        C.cells_from_xyz_column(F.col("x"), F.col("y"), F.col("z"),
+                                level=12, res=7))
+    d = d.select("id", F.col("__cells.s2_cell").alias("s2"))
+    d = d.withColumn("p6", C.s2_parent_column(F.col("s2"), 5))
+    regions = (d.filter(F.pmod(F.col("id"), F.lit(29)) == 0)
+               .select(F.col("p6").alias("rcell")).distinct())
+    return (d.join(F.broadcast(regions), d.p6 == regions.rcell)
+            .select("id", "p6"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full spatial pipeline at sf0.001 -> per-tile stats."""
     return q_pipeline_e2e(spark, "/root/testdata/sf0.001")
@@ -1003,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "geom_measures": q_geom_measures,
         "geocode": q_geocode,
+        "cell_cover_join": q_cell_cover_join,
     }
 
 
@@ -1524,6 +1549,17 @@ SELECT gkey, n_vertices, abs(a2_signed) AS area2, cx_num, cy_num,
 FROM __m WHERE abs(a2_signed) >= 32
 """
 
+    from mvt_wrangler_spark.functions.cells import s2_parent_sql
+
+    cover_ctes, cover_last, cover_s2 = s2_cell_sql(level=12, base="__xyz2")
+    cell_cover_join = (
+        f"WITH __xyz2 AS ({XYZ_SQL}),\n" + ",\n".join(cover_ctes)
+        + f""",
+__cp AS (SELECT id, {s2_parent_sql(f'({cover_s2})', 5)} AS p6 FROM {cover_last}),
+__cr AS (SELECT DISTINCT p6 AS rcell FROM __cp WHERE id % 29 = 0)
+SELECT id, p6 FROM __cp JOIN __cr ON p6 = rcell"""
+    )
+
     from mvt_wrangler_spark.functions.geocodes import geohash_sql, quadkey_sql
 
     gh_ctes, gh_last, gh_expr = geohash_sql("lon", "lat", 8, "__pts")
@@ -1547,6 +1583,7 @@ FROM {gh_last}"""
         "doc_fingerprint": doc_fp,
         "geom_measures": geom_measures,
         "geocode": geocode,
+        "cell_cover_join": cell_cover_join,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

@@ -192,6 +192,34 @@ def s2_level(cell: int) -> int:
     return _MAX_LEVEL - (lsb.bit_length() - 1) // 2
 
 
+# --- cell topology as pure column/SQL BITWISE arithmetic. Faces 4-5 set
+# --- bit 63, so cell ids are NEGATIVE int64s: shift/add forms overflow
+# --- under ANSI; the canonical (id & -lsb) | lsb form is two's-complement
+# --- safe and matches the uint64 numpy kernel bit-for-bit.
+
+def s2_parent_column(cell: Column, level: int) -> Column:
+    """Parent cell at `level` (must be coarser than the cell's own level):
+    (id & -lsb) | lsb, the canonical S2 parent arithmetic."""
+    lsb = 1 << (2 * (_MAX_LEVEL - level))
+    return cell.bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))
+
+
+def s2_range_columns(cell: Column, level: int) -> tuple[Column, Column]:
+    """[range_min, range_max] — the id interval every descendant of a
+    `level` cell falls in (the S2 cover-join predicate: descendant ids are
+    BETWEEN min and max, so coarse covers join fine cells by range).
+    Low `2*(30-level)+1` bits of the cell are `1000…0`, so ±(lsb-1) only
+    touches those bits — no carries, no ANSI overflow, sign-safe."""
+    lsb = 1 << (2 * (_MAX_LEVEL - level))
+    return cell - F.lit(lsb - 1).cast("long"), cell + F.lit(lsb - 1).cast("long")
+
+
+def s2_parent_sql(cell: str, level: int) -> str:
+    """DuckDB twin of s2_parent_column."""
+    lsb = 1 << (2 * (_MAX_LEVEL - level))
+    return f"(({cell} & {-lsb}) | {lsb})"
+
+
 def s2_cell_column(lat: Column, lng: Column, level: int = 12) -> Column:
     @pandas_udf("long")
     def _enc(la, ln):

@@ -45,6 +45,7 @@ AUDIT = [
     ("intersects_join_partitioned", "both-side tile covers + slim pair dedup + cogrouped refine"),
     ("geom_measures", "ring measures: one collect_list shuffle + codegen array math"),
     ("geocode", "geohash/quadkey: zero-shuffle single-pass codegen projection"),
+    ("cell_cover_join", "S2 cover join: broadcast region cells, no geometry shuffle"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage
