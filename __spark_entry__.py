@@ -971,6 +971,22 @@ def q_cell_cover_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id", "p6"))
 
 
+def q_tile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-tile sampling: deterministic hash Bernoulli prefilter
+    (zero-shuffle, reproducible across runs/retries/cluster sizes — unlike
+    rand()) then exactly-k-per-tile stratified pick. The per-tile cap is
+    how a curation job stops dense metro tiles from dominating a training
+    set."""
+    from mvt_wrangler_spark.functions import tiling
+    from mvt_wrangler_spark.operators import sampling as S
+
+    pts = _points(spark, sf_dir)
+    d = tiling.assign_tiles(pts, z=6, with_local=False)
+    d = S.hash_sample(d, 0.5, id_col="id")
+    return (S.stratified_topk(d, ["x", "y"], k=3, id_col="id")
+            .select("id", "x", "y", "rn"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full spatial pipeline at sf0.001 -> per-tile stats."""
     return q_pipeline_e2e(spark, "/root/testdata/sf0.001")
@@ -1028,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_measures": q_geom_measures,
         "geocode": q_geocode,
         "cell_cover_join": q_cell_cover_join,
+        "tile_sample": q_tile_sample,
     }
 
 
@@ -1560,6 +1577,20 @@ __cr AS (SELECT DISTINCT p6 AS rcell FROM __cp WHERE id % 29 = 0)
 SELECT id, p6 FROM __cp JOIN __cr ON p6 = rcell"""
     )
 
+    from mvt_wrangler_spark.operators.sampling import sample_hash_sql
+
+    thr = int(0.5 * 2147483647)
+    tile_sample = f"""
+WITH {pts},
+__txy AS (SELECT id, {tile_x_sql('lon', 6)} AS x, {tile_y_sql('lat', 6)} AS y,
+                 {sample_hash_sql('id')} AS h
+          FROM __pts),
+__s AS (SELECT id, x, y, h,
+               row_number() OVER (PARTITION BY x, y ORDER BY h, id) AS rn
+        FROM __txy WHERE h < {thr})
+SELECT id, x, y, CAST(rn AS INT) AS rn FROM __s WHERE rn <= 3
+"""
+
     from mvt_wrangler_spark.functions.geocodes import geohash_sql, quadkey_sql
 
     gh_ctes, gh_last, gh_expr = geohash_sql("lon", "lat", 8, "__pts")
@@ -1584,6 +1615,7 @@ FROM {gh_last}"""
         "geom_measures": geom_measures,
         "geocode": geocode,
         "cell_cover_join": cell_cover_join,
+        "tile_sample": tile_sample,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

@@ -1,0 +1,73 @@
+"""Deterministic sampling for training-data pipelines.
+
+Two shapes a 100 TB curation job needs constantly:
+
+  * hash_sample — stateless Bernoulli by integer hash threshold. No RNG
+    state, no shuffle, no partition sensitivity: the decision is a pure
+    function of the row id, so re-runs, retried tasks, and different
+    cluster sizes all keep the SAME rows (rand()-based sampling breaks all
+    three). Plan: a codegen filter that pushes down next to the scan.
+  * stratified_topk — exactly k rows per group (per tile/cell/class),
+    picked by the same deterministic hash so the per-group sample is
+    stable. Plan: one shuffle on the group key + per-group window; group
+    cardinality is the tile universe, so no single-task funnel.
+
+The mix is two multiply-mod rounds (Numerical Recipes + MINSTD constants,
+both public) with xor-shift steps between them. The xor is load-bearing: a
+single affine step mod p has severe serial correlation (consecutive ids
+select with an even/odd stripe pattern, and a salt merely rotates the same
+pattern — composing affine rounds stays affine), while the xor breaks
+linearity. Intermediates stay < 2^31 * 2^31 < int64 max, so no ANSI
+overflow, and every step is exactly expressible in DuckDB for the twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_M1 = 1103515245
+_M2 = 48271
+_INC = 12345
+_MOD = 2147483647
+
+
+def sample_hash(id_col: Column, salt: int = 0) -> Column:
+    """Deterministic uniform-ish hash in [0, 2^31-2] from an int64 id."""
+    h = F.pmod(id_col * F.lit(_M1) + F.lit(_INC + salt), F.lit(_MOD))
+    h = h.bitwiseXOR(F.shiftrightunsigned(h, 15))
+    h = F.pmod(h * F.lit(_M2), F.lit(_MOD))
+    h = h.bitwiseXOR(F.shiftrightunsigned(h, 13))
+    return F.pmod(h, F.lit(_MOD))
+
+
+def sample_hash_sql(id_col: str, salt: int = 0) -> str:
+    h1 = f"((({id_col} * {_M1} + {_INC + salt}) % {_MOD} + {_MOD}) % {_MOD})"
+    h2 = f"xor({h1}, {h1} >> 15)"
+    h3 = f"(({h2} * {_M2}) % {_MOD})"
+    h4 = f"xor({h3}, {h3} >> 13)"
+    return f"({h4} % {_MOD})"
+
+
+def hash_sample(df: DataFrame, frac: float, id_col: str = "id",
+                salt: int = 0) -> DataFrame:
+    """Keep ~frac of rows, decided per-row by hash threshold — reproducible
+    across runs, retries, and cluster sizes."""
+    thr = int(frac * _MOD)
+    return df.filter(sample_hash(F.col(id_col), salt) < F.lit(thr))
+
+
+def stratified_topk(df: DataFrame, keys: list[str], k: int,
+                    id_col: str = "id", salt: int = 0,
+                    rank_col: str = "rn") -> DataFrame:
+    """Exactly min(k, group size) rows per group, deterministically.
+
+    Orders each group by (hash, id) — ties-free — and keeps rank <= k.
+    The id tiebreak makes the output a pure function of the input set.
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(*keys)
+         .orderBy(sample_hash(F.col(id_col), salt), F.col(id_col)))
+    return (df.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= k))

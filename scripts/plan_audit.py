@@ -46,6 +46,7 @@ AUDIT = [
     ("geom_measures", "ring measures: one collect_list shuffle + codegen array math"),
     ("geocode", "geohash/quadkey: zero-shuffle single-pass codegen projection"),
     ("cell_cover_join", "S2 cover join: broadcast region cells, no geometry shuffle"),
+    ("tile_sample", "hash Bernoulli prefilter + per-tile window: one key shuffle"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage

@@ -1,0 +1,37 @@
+"""Deterministic sampling: reproducibility, exact-k, partition independence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mvt_wrangler_spark.operators import sampling as S
+
+
+@pytest.mark.spark
+def test_hash_sample_reproducible_and_partition_independent(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "id")
+    a = {r.id for r in S.hash_sample(df, 0.3, "id").collect()}
+    b = {r.id for r in S.hash_sample(df.repartition(17), 0.3, "id").collect()}
+    assert a == b and 0.25 < len(a) / 10_000 < 0.35
+    # disjoint salts give a different (but still deterministic) subset
+    c = {r.id for r in S.hash_sample(df, 0.3, "id", salt=99).collect()}
+    assert c != a
+
+
+@pytest.mark.spark
+def test_stratified_topk_exact_k_per_group(spark):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g"))
+    out = S.stratified_topk(df, ["g"], k=5, id_col="id")
+    counts = {r.g: r.n for r in
+              out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert set(counts.values()) == {5} and len(counts) == 7
+    # small groups keep all their rows
+    tiny = df.filter(F.col("id") < 3)
+    assert S.stratified_topk(tiny, ["g"], k=5).count() == 3
+    # deterministic across physical layouts
+    a = sorted(r.id for r in out.collect())
+    b = sorted(r.id for r in
+               S.stratified_topk(df.repartition(13), ["g"], 5).collect())
+    assert a == b
