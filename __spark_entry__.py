@@ -987,6 +987,17 @@ def q_tile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id", "x", "y", "rn"))
 
 
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled class centroids over the 64-dim embeddings: one codegen
+    aggregate per dimension (64 sums + count per group, full map-side
+    partial agg — no explode, no Python), integer-quantized so the sums
+    are exact and order-independent."""
+    from mvt_wrangler_spark.operators.cluster import group_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return group_centroids(emb, dim=64, keys=["label"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full spatial pipeline at sf0.001 -> per-tile stats."""
     return q_pipeline_e2e(spark, "/root/testdata/sf0.001")
@@ -1045,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geocode": q_geocode,
         "cell_cover_join": q_cell_cover_join,
         "tile_sample": q_tile_sample,
+        "embed_centroids": q_embed_centroids,
     }
 
 
@@ -1591,6 +1603,10 @@ __s AS (SELECT id, x, y, h,
 SELECT id, x, y, CAST(rn AS INT) AS rn FROM __s WHERE rn <= 3
 """
 
+    from mvt_wrangler_spark.operators.cluster import group_centroids_sql
+
+    embed_centroids = group_centroids_sql("embeddings", dim=64, key="label")
+
     from mvt_wrangler_spark.functions.geocodes import geohash_sql, quadkey_sql
 
     gh_ctes, gh_last, gh_expr = geohash_sql("lon", "lat", 8, "__pts")
@@ -1616,6 +1632,7 @@ FROM {gh_last}"""
         "geocode": geocode,
         "cell_cover_join": cell_cover_join,
         "tile_sample": tile_sample,
+        "embed_centroids": embed_centroids,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

@@ -256,3 +256,40 @@ def ann_topk_ivf_sql(table: str = "embeddings", k: int = 5, n_clusters: int = 4,
     final = (f"\nSELECT qid, CAST(rank AS INT) AS rank, vid AS neighbor_id, "
              f"CAST(score AS BIGINT) AS score FROM __r WHERE rank <= {k}")
     return "WITH " + ",\n".join(ctes) + final
+
+
+def group_centroids(df: DataFrame, dim: int, keys: list[str],
+                    vec_col: str = "embedding",
+                    quant: int = 1_000_000) -> DataFrame:
+    """Exact per-group embedding centroid sums in long format.
+
+    The scale-right shape for mean-pooling embeddings per tile/cell/class:
+    each dimension becomes ONE codegen aggregate column (64 sums + a
+    count), so the shuffle carries dim+1 longs per group with full
+    map-side partial aggregation — no explode (which would multiply the
+    shuffle rows by dim) and no Python. Values are floor-quantized to
+    integers first, making sums order-independent and the DuckDB twin
+    exact; output is (keys..., pos, csum, n) — callers divide csum/n
+    (kept apart because Spark's DIV truncates while DuckDB's // floors,
+    so emitting a quotient would diverge on negative sums).
+    """
+    q = [F.sum(F.floor(F.col(vec_col)[i].cast("double") * quant)
+               .cast("long")).alias(f"__s{i}") for i in range(dim)]
+    agg = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"), *q)
+    pairs = ", ".join(f"{i}, __s{i}" for i in range(dim))
+    return agg.select(
+        *keys, "n",
+        F.expr(f"stack({dim}, {pairs}) AS (pos, csum)")
+    ).select(*keys, F.col("pos").cast("int").alias("pos"), "csum", "n")
+
+
+def group_centroids_sql(table: str, dim: int, key: str,
+                        vec_col: str = "embedding",
+                        quant: int = 1_000_000) -> str:
+    """DuckDB twin of group_centroids (single group key)."""
+    return f"""
+SELECT {key}, CAST(g.i - 1 AS INT) AS pos,
+       CAST(sum(CAST(floor(CAST({vec_col}[g.i] AS DOUBLE) * CAST({quant} AS DOUBLE)) AS BIGINT)) AS BIGINT) AS csum,
+       count(*) AS n
+FROM {table}, generate_series(1, {dim}) g(i)
+GROUP BY {key}, g.i"""

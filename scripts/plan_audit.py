@@ -47,6 +47,7 @@ AUDIT = [
     ("geocode", "geohash/quadkey: zero-shuffle single-pass codegen projection"),
     ("cell_cover_join", "S2 cover join: broadcast region cells, no geometry shuffle"),
     ("tile_sample", "hash Bernoulli prefilter + per-tile window: one key shuffle"),
+    ("embed_centroids", "64 codegen sums + count per group; no explode, no Python"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage
