@@ -998,6 +998,38 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_centroids(emb, dim=64, keys=["label"])
 
 
+def q_clip_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sutherland–Hodgman ring clip to a (buffered) tile box + MVT grid
+    snap — the geometry step of building a tile from scratch. One
+    mapInPandas, no shuffle beyond the ring assembly; the DuckDB twin
+    unrolls the same four half-plane passes with identical float
+    expression order, and the grid snap makes the compared area an exact
+    integer."""
+    from mvt_wrangler_spark.operators import clip as CL
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber").cast("long")
+    # dropDuplicates: the synthetic lineitem contains repeated
+    # (orderkey, linenumber) rows; duplicate seq values make the ring's
+    # edge order ambiguous (the SQL twin's window would interleave the two
+    # tied edges' emissions differently than the collected array)
+    v = li.select(
+        ok.alias("gkey"), ln.alias("vord"),
+        F.pmod(ok * 7919 + ln * 104729, F.lit(4096)).alias("vx"),
+        F.pmod(ok * 104729 + ln * 7919, F.lit(4096)).alias("vy"))
+    v = v.dropDuplicates(["gkey", "vord"])
+    rings = (v.groupBy("gkey")
+             .agg(F.array_sort(F.collect_list(F.struct("vord", "vx", "vy")))
+                  .alias("vs"))
+             .filter(F.size("vs") >= 3)
+             .select("gkey",
+                     F.transform(F.col("vs.vx"),
+                                 lambda c: c.cast("double")).alias("xs"),
+                     F.transform(F.col("vs.vy"),
+                                 lambda c: c.cast("double")).alias("ys")))
+    return CL.clip_rings(rings, 512.0, 512.0, 3584.0, 3584.0, snap=16)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full spatial pipeline at sf0.001 -> per-tile stats."""
     return q_pipeline_e2e(spark, "/root/testdata/sf0.001")
@@ -1057,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_cover_join": q_cell_cover_join,
         "tile_sample": q_tile_sample,
         "embed_centroids": q_embed_centroids,
+        "clip_tile": q_clip_tile,
     }
 
 
@@ -1607,6 +1640,21 @@ SELECT id, x, y, CAST(rn AS INT) AS rn FROM __s WHERE rn <= 3
 
     embed_centroids = group_centroids_sql("embeddings", dim=64, key="label")
 
+    from mvt_wrangler_spark.operators.clip import clip_rings_sql
+
+    clip_tile = f"""
+WITH __v AS (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS gkey,
+         CAST(l_linenumber AS BIGINT) AS seq,
+         CAST(((l_orderkey*7919 + CAST(l_linenumber AS BIGINT)*104729) % 4096 + 4096) % 4096 AS DOUBLE) AS x,
+         CAST(((l_orderkey*104729 + CAST(l_linenumber AS BIGINT)*7919) % 4096 + 4096) % 4096 AS DOUBLE) AS y
+  FROM lineitem),
+__vk AS (SELECT * FROM __v WHERE gkey IN
+         (SELECT gkey FROM __v GROUP BY gkey HAVING count(*) >= 3)),
+{clip_rings_sql('__vk', 512.0, 512.0, 3584.0, 3584.0, snap=16)}
+SELECT gkey, n_out, area2q FROM __clip
+"""
+
     from mvt_wrangler_spark.functions.geocodes import geohash_sql, quadkey_sql
 
     gh_ctes, gh_last, gh_expr = geohash_sql("lon", "lat", 8, "__pts")
@@ -1633,6 +1681,7 @@ FROM {gh_last}"""
         "cell_cover_join": cell_cover_join,
         "tile_sample": tile_sample,
         "embed_centroids": embed_centroids,
+        "clip_tile": clip_tile,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

@@ -48,6 +48,7 @@ AUDIT = [
     ("cell_cover_join", "S2 cover join: broadcast region cells, no geometry shuffle"),
     ("tile_sample", "hash Bernoulli prefilter + per-tile window: one key shuffle"),
     ("embed_centroids", "64 codegen sums + count per group; no explode, no Python"),
+    ("clip_tile", "Sutherland-Hodgman clip: ring assembly shuffle + one mapInPandas"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage
