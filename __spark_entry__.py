@@ -1030,6 +1030,29 @@ def q_clip_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CL.clip_rings(rings, 512.0, 512.0, 3584.0, 3584.0, snap=16)
 
 
+def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas–Peucker at tolerance 64 tile-units over integer polylines —
+    integer-exact split test (cross² > eps²·len²), so the recursive-CTE
+    DuckDB twin reproduces the kept-vertex SET exactly. One mapInPandas
+    after ring assembly; output is (gkey, kept_seq) positions."""
+    from mvt_wrangler_spark.operators import simplify as SI
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber").cast("long")
+    v = li.select(
+        ok.alias("gkey"), ln.alias("vord"),
+        F.pmod(ok * 7919 + ln * 104729, F.lit(4096)).alias("vx"),
+        F.pmod(ok * 104729 + ln * 7919, F.lit(4096)).alias("vy"))
+    v = v.dropDuplicates(["gkey", "vord"])
+    rings = (v.groupBy("gkey")
+             .agg(F.array_sort(F.collect_list(F.struct("vord", "vx", "vy")))
+                  .alias("vs"))
+             .filter(F.size("vs") >= 3)
+             .select("gkey", F.col("vs.vx").alias("xs"),
+                     F.col("vs.vy").alias("ys")))
+    return SI.simplify_lines(rings, eps=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full spatial pipeline at sf0.001 -> per-tile stats."""
     return q_pipeline_e2e(spark, "/root/testdata/sf0.001")
@@ -1090,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_sample": q_tile_sample,
         "embed_centroids": q_embed_centroids,
         "clip_tile": q_clip_tile,
+        "simplify": q_simplify,
     }
 
 
@@ -1655,6 +1679,24 @@ __vk AS (SELECT * FROM __v WHERE gkey IN
 SELECT gkey, n_out, area2q FROM __clip
 """
 
+    from mvt_wrangler_spark.operators.simplify import simplify_sql
+
+    simplify = f"""
+WITH RECURSIVE __v AS (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS gkey,
+         CAST(l_linenumber AS BIGINT) AS seq,
+         ((l_orderkey*7919 + CAST(l_linenumber AS BIGINT)*104729) % 4096 + 4096) % 4096 AS x,
+         ((l_orderkey*104729 + CAST(l_linenumber AS BIGINT)*7919) % 4096 + 4096) % 4096 AS y
+  FROM lineitem),
+__vd AS (SELECT gkey,
+                row_number() OVER (PARTITION BY gkey ORDER BY seq) - 1 AS i,
+                x, y
+         FROM __v WHERE gkey IN
+         (SELECT gkey FROM __v GROUP BY gkey HAVING count(*) >= 3)),
+{simplify_sql('__vd', eps=64)}
+SELECT gkey, kept_seq FROM __kept
+"""
+
     from mvt_wrangler_spark.functions.geocodes import geohash_sql, quadkey_sql
 
     gh_ctes, gh_last, gh_expr = geohash_sql("lon", "lat", 8, "__pts")
@@ -1682,6 +1724,7 @@ FROM {gh_last}"""
         "tile_sample": tile_sample,
         "embed_centroids": embed_centroids,
         "clip_tile": clip_tile,
+        "simplify": simplify,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

@@ -49,6 +49,7 @@ AUDIT = [
     ("tile_sample", "hash Bernoulli prefilter + per-tile window: one key shuffle"),
     ("embed_centroids", "64 codegen sums + count per group; no explode, no Python"),
     ("clip_tile", "Sutherland-Hodgman clip: ring assembly shuffle + one mapInPandas"),
+    ("simplify", "Douglas-Peucker: ring assembly shuffle + one mapInPandas"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage
