@@ -89,6 +89,9 @@ def main() -> None:
         # JVM/heap history as prior rounds' series
         "neardup_clusters", "tile_quantiles", "asof_join", "ngram_jaccard",
         "pip_join_partitioned", "interval_join", "intersects_join_partitioned",
+        # round-5 additions
+        "geom_measures", "geocode", "cell_cover_join", "tile_sample",
+        "embed_centroids", "clip_tile", "simplify",
     ]
     # two readings per query: cold (first run — the round-over-round
     # comparable series, includes codegen/JIT compile) and warm (second run —
