@@ -50,6 +50,7 @@ AUDIT = [
     ("embed_centroids", "64 codegen sums + count per group; no explode, no Python"),
     ("clip_tile", "Sutherland-Hodgman clip: ring assembly shuffle + one mapInPandas"),
     ("simplify", "Douglas-Peucker: ring assembly shuffle + one mapInPandas"),
+    ("overzoom", "tile overzoom: decode/crop/upsample/encode mapInPandas chain"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage
