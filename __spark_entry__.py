@@ -1114,6 +1114,33 @@ def q_overzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id long, child int, sum_r long, sum_g long, sum_b long, fp long")
 
 
+def q_clip_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liang–Barsky line clip to the tile box — pure codegen end to end
+    (each segment clips independently: per-row t-parameter math, no
+    Python, no recursion; the only exchange is the lead() window that
+    forms segments). Endpoints floor-snap to the MVT subpixel grid, so
+    the compare is integer-exact; the twin uses identical expression
+    order for bit-equal t values."""
+    from pyspark.sql import Window
+
+    from mvt_wrangler_spark.operators import clip as CL
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber").cast("long")
+    v = li.select(
+        ok.alias("gkey"), ln.alias("vord"),
+        F.pmod(ok * 7919 + ln * 104729, F.lit(4096)).cast("double").alias("x1"),
+        F.pmod(ok * 104729 + ln * 7919, F.lit(4096)).cast("double").alias("y1"))
+    v = v.dropDuplicates(["gkey", "vord"])
+    w = Window.partitionBy("gkey").orderBy("vord")
+    seg = (v.withColumns({
+        "seq": F.row_number().over(w).cast("long"),
+        "x2": F.lead("x1").over(w), "y2": F.lead("y1").over(w)})
+        .filter(F.col("x2").isNotNull()))
+    return (CL.clip_segments(seg, 512.0, 512.0, 3584.0, 3584.0, snap=16)
+            .select("gkey", "seq", "qx1", "qy1", "qx2", "qy2"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full spatial pipeline at sf0.001 -> per-tile stats."""
     return q_pipeline_e2e(spark, "/root/testdata/sf0.001")
@@ -1176,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_tile": q_clip_tile,
         "simplify": q_simplify,
         "overzoom": q_overzoom,
+        "clip_lines": q_clip_lines,
     }
 
 
@@ -1761,6 +1789,24 @@ SELECT id, CAST(qy*2 + qx AS INT) AS child,
 FROM __cpx GROUP BY 1, 2
 """
 
+    from mvt_wrangler_spark.operators.clip import clip_segments_sql
+
+    clip_lines = f"""
+WITH __v AS (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS gkey,
+         CAST(l_linenumber AS BIGINT) AS vord,
+         CAST(((l_orderkey*7919 + CAST(l_linenumber AS BIGINT)*104729) % 4096 + 4096) % 4096 AS DOUBLE) AS x1,
+         CAST(((l_orderkey*104729 + CAST(l_linenumber AS BIGINT)*7919) % 4096 + 4096) % 4096 AS DOUBLE) AS y1
+  FROM lineitem),
+__seg0 AS (
+  SELECT gkey, CAST(row_number() OVER w AS BIGINT) AS seq, x1, y1,
+         lead(x1) OVER w AS x2, lead(y1) OVER w AS y2
+  FROM __v WINDOW w AS (PARTITION BY gkey ORDER BY vord)),
+__segs AS (SELECT * FROM __seg0 WHERE x2 IS NOT NULL),
+{clip_segments_sql('__segs', 512.0, 512.0, 3584.0, 3584.0, snap=16)}
+SELECT gkey, seq, qx1, qy1, qx2, qy2 FROM __lseg
+"""
+
     from mvt_wrangler_spark.operators.simplify import simplify_sql
 
     simplify = f"""
@@ -1808,6 +1854,7 @@ FROM {gh_last}"""
         "clip_tile": clip_tile,
         "simplify": simplify,
         "overzoom": overzoom_sql,
+        "clip_lines": clip_lines,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

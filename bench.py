@@ -91,7 +91,7 @@ def main() -> None:
         "pip_join_partitioned", "interval_join", "intersects_join_partitioned",
         # round-5 additions
         "geom_measures", "geocode", "cell_cover_join", "tile_sample",
-        "embed_centroids", "clip_tile", "simplify", "overzoom",
+        "embed_centroids", "clip_tile", "simplify", "overzoom", "clip_lines",
     ]
     # two readings per query: cold (first run — the round-over-round
     # comparable series, includes codegen/JIT compile) and warm (second run —

@@ -187,3 +187,88 @@ __clip AS (
   HAVING count(*) >= 3 AND abs(sum(qx*qyn - qxn*qy)) > 0
 )"""
     return ",".join(passes) + "," + final
+
+
+# ---------------------------------------------------------------------------
+# Line clipping (Liang–Barsky) — PURE CODEGEN, no Python at all: each
+# polyline segment clips independently (no sequential dependence, unlike
+# the polygon clip above), so the whole operator is per-row column math.
+# ---------------------------------------------------------------------------
+
+def _axis_ts(c1, d, lo: float, hi: float):
+    """(t_enter, t_exit) for one axis; ±inf conventions for d == 0."""
+    from pyspark.sql import functions as F
+
+    inf = float("inf")
+    t_in = (F.when(d > 0, (F.lit(lo) - c1) / d)
+            .when(d < 0, (F.lit(hi) - c1) / d)
+            .otherwise(F.when(c1 >= lo, F.lit(-inf)).otherwise(F.lit(inf))))
+    t_out = (F.when(d > 0, (F.lit(hi) - c1) / d)
+             .when(d < 0, (F.lit(lo) - c1) / d)
+             .otherwise(F.when(c1 <= hi, F.lit(inf)).otherwise(F.lit(-inf))))
+    return t_in, t_out
+
+
+def clip_segments(df: DataFrame, minx: float, miny: float, maxx: float,
+                  maxy: float, snap: int = 16,
+                  x1="x1", y1="y1", x2="x2", y2="y2") -> DataFrame:
+    """Liang–Barsky clip of segment rows to the box. Emits surviving
+    segments with endpoints floor-snapped to 1/snap subpixels (dropping
+    zero-length results after the snap). Single codegen projection —
+    `.explain` shows no exchange and no Python stage."""
+    from pyspark.sql import functions as F
+
+    X1, Y1 = F.col(x1), F.col(y1)
+    dx, dy = F.col(x2) - X1, F.col(y2) - Y1
+    tx0, tx1 = _axis_ts(X1, dx, minx, maxx)
+    ty0, ty1 = _axis_ts(Y1, dy, miny, maxy)
+    t0 = F.greatest(F.lit(0.0), tx0, ty0)
+    t1 = F.least(F.lit(1.0), tx1, ty1)
+    d = (df.withColumns({"__t0": t0, "__t1": t1})
+         .filter(F.col("__t0") < F.col("__t1")))
+    qs = {
+        "qx1": F.floor((X1 + F.col("__t0") * dx) * snap).cast("long"),
+        "qy1": F.floor((Y1 + F.col("__t0") * dy) * snap).cast("long"),
+        "qx2": F.floor((X1 + F.col("__t1") * dx) * snap).cast("long"),
+        "qy2": F.floor((Y1 + F.col("__t1") * dy) * snap).cast("long"),
+    }
+    d = d.withColumns(qs).drop("__t0", "__t1")
+    return d.filter((F.col("qx1") != F.col("qx2"))
+                    | (F.col("qy1") != F.col("qy2")))
+
+
+def clip_segments_sql(src: str, minx: float, miny: float, maxx: float,
+                      maxy: float, snap: int = 16) -> str:
+    """DuckDB twin over `src`(..., x1, y1, x2, y2) — identical expression
+    order so the float t-parameters and snapped ints are bit-equal.
+    Exposes __lseg(gkey, seq, qx1, qy1, qx2, qy2)."""
+    def axis(c1, d, lo, hi):
+        t_in = (f"CASE WHEN {d} > 0 THEN ({lo} - {c1}) / {d} "
+                f"WHEN {d} < 0 THEN ({hi} - {c1}) / {d} "
+                f"WHEN {c1} >= {lo} THEN CAST('-infinity' AS DOUBLE) "
+                f"ELSE CAST('infinity' AS DOUBLE) END")
+        t_out = (f"CASE WHEN {d} > 0 THEN ({hi} - {c1}) / {d} "
+                 f"WHEN {d} < 0 THEN ({lo} - {c1}) / {d} "
+                 f"WHEN {c1} <= {hi} THEN CAST('infinity' AS DOUBLE) "
+                 f"ELSE CAST('-infinity' AS DOUBLE) END")
+        return t_in, t_out
+
+    tx0, tx1 = axis("x1", "(x2 - x1)", minx, maxx)
+    ty0, ty1 = axis("y1", "(y2 - y1)", miny, maxy)
+    return f"""
+__lt AS (
+  SELECT *, greatest(CAST(0.0 AS DOUBLE), {tx0}, {ty0}) AS t0,
+            least(CAST(1.0 AS DOUBLE), {tx1}, {ty1}) AS t1
+  FROM {src}
+),
+__lq AS (
+  SELECT gkey, seq,
+         CAST(floor((x1 + t0 * (x2 - x1)) * {snap}) AS BIGINT) AS qx1,
+         CAST(floor((y1 + t0 * (y2 - y1)) * {snap}) AS BIGINT) AS qy1,
+         CAST(floor((x1 + t1 * (x2 - x1)) * {snap}) AS BIGINT) AS qx2,
+         CAST(floor((y1 + t1 * (y2 - y1)) * {snap}) AS BIGINT) AS qy2
+  FROM __lt WHERE t0 < t1
+),
+__lseg AS (
+  SELECT * FROM __lq WHERE qx1 != qx2 OR qy1 != qy2
+)"""

@@ -51,6 +51,7 @@ AUDIT = [
     ("clip_tile", "Sutherland-Hodgman clip: ring assembly shuffle + one mapInPandas"),
     ("simplify", "Douglas-Peucker: ring assembly shuffle + one mapInPandas"),
     ("overzoom", "tile overzoom: decode/crop/upsample/encode mapInPandas chain"),
+    ("clip_lines", "Liang-Barsky line clip: codegen only; lead() window forms segments"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage

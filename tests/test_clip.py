@@ -116,3 +116,36 @@ def test_overzoom_children_reconstruct_parent(spark):
         assert (down == quad).all()
         # child pixel sums are exactly 4x the quadrant sums
         assert im.astype(np.int64).sum() == 4 * quad.astype(np.int64).sum()
+
+
+@pytest.mark.spark
+def test_clip_segments_liang_barsky(spark):
+    rows = [
+        # fully inside
+        (1, 1, 2.0, 2.0, 8.0, 8.0),
+        # crosses left edge
+        (2, 1, -5.0, 5.0, 5.0, 5.0),
+        # fully outside (above)
+        (3, 1, 2.0, 20.0, 8.0, 25.0),
+        # corner-to-corner diagonal through the box
+        (4, 1, -10.0, -10.0, 20.0, 20.0),
+        # vertical segment on x=5 crossing top edge
+        (5, 1, 5.0, 5.0, 5.0, 15.0),
+        # degenerate: outside-parallel (y constant below box)
+        (6, 1, -5.0, -2.0, 15.0, -2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "gkey long, seq long, x1 double, y1 double, x2 double, y2 double")
+    from mvt_wrangler_spark.operators.clip import clip_segments
+
+    got = {r.gkey: (r.qx1, r.qy1, r.qx2, r.qy2) for r in
+           clip_segments(df, 0.0, 0.0, 10.0, 10.0, snap=2).collect()}
+    assert got[1] == (4, 4, 16, 16)
+    assert got[2] == (0, 10, 10, 10)
+    assert 3 not in got and 6 not in got
+    assert got[4] == (0, 0, 20, 20)
+    assert got[5] == (10, 10, 10, 20)
+    # the plan must stay Python-free: codegen filter + project only
+    plan = clip_segments(df, 0.0, 0.0, 10.0, 10.0)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
