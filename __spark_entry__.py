@@ -1141,6 +1141,22 @@ def q_clip_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("gkey", "seq", "qx1", "qy1", "qx2", "qy2"))
 
 
+def q_tile_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic webdataset-style sharding: per z6 tile, rows pack
+    into ~64 KB shards in id order (shard = exclusive prefix-sum of the
+    synthetic byte size DIV shard_bytes) — one key shuffle + window
+    cumsum, integer-exact, stable across runs and cluster sizes."""
+    from mvt_wrangler_spark.functions import tiling
+    from mvt_wrangler_spark.operators import sampling as S
+
+    pts = _points(spark, sf_dir)
+    d = tiling.assign_tiles(pts, z=6, with_local=False)
+    d = d.withColumn("nbytes", F.pmod(F.col("id") * 2654435761, F.lit(8192))
+                     + F.lit(1024))
+    return (S.assign_shards(d, ["x", "y"], "nbytes", 65536, id_col="id")
+            .select("id", "x", "y", "nbytes", "shard"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full spatial pipeline at sf0.001 -> per-tile stats."""
     return q_pipeline_e2e(spark, "/root/testdata/sf0.001")
@@ -1204,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify": q_simplify,
         "overzoom": q_overzoom,
         "clip_lines": q_clip_lines,
+        "tile_shards": q_tile_shards,
     }
 
 
@@ -1825,6 +1842,18 @@ __vd AS (SELECT gkey,
 SELECT gkey, kept_seq FROM __kept
 """
 
+    tile_shards = f"""
+WITH {pts},
+__ts AS (SELECT id, {tile_x_sql('lon', 6)} AS x, {tile_y_sql('lat', 6)} AS y,
+                ((id * 2654435761) % 8192 + 8192) % 8192 + 1024 AS nbytes
+         FROM __pts)
+SELECT id, x, y, nbytes,
+       coalesce(sum(nbytes) OVER (PARTITION BY x, y ORDER BY id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       // 65536 AS shard
+FROM __ts
+"""
+
     from mvt_wrangler_spark.functions.geocodes import geohash_sql, quadkey_sql
 
     gh_ctes, gh_last, gh_expr = geohash_sql("lon", "lat", 8, "__pts")
@@ -1855,6 +1884,7 @@ FROM {gh_last}"""
         "simplify": simplify,
         "overzoom": overzoom_sql,
         "clip_lines": clip_lines,
+        "tile_shards": tile_shards,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

@@ -71,3 +71,29 @@ def stratified_topk(df: DataFrame, keys: list[str], k: int,
          .orderBy(sample_hash(F.col(id_col), salt), F.col(id_col)))
     return (df.withColumn(rank_col, F.row_number().over(w))
             .filter(F.col(rank_col) <= k))
+
+
+def assign_shards(df: DataFrame, keys: list[str], size_col: str,
+                  shard_bytes: int, id_col: str = "id",
+                  out_col: str = "shard") -> DataFrame:
+    """Deterministic training-shard assignment: within each group (tile/
+    cell/class), rows are packed into ~shard_bytes shards in id order —
+    shard = exclusive-prefix-sum(size) // shard_bytes.
+
+    The webdataset-style sharding step of a curation pipeline, as exact
+    integer column math: assignment is a pure function of the input set
+    (stable across runs and cluster sizes), every shard except the last
+    per group reaches at least shard_bytes (greedy first-fit in id order),
+    and the plan is one key shuffle + window cumsum — no Python, no
+    driver-side packing loop.
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(*keys).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    off = F.coalesce(F.sum(size_col).over(w), F.lit(0).cast("long"))
+    # integer DIV, not float '/': float division loses exactness past 2^53
+    # (offsets are byte totals — they get there at shard scale)
+    return (df.withColumn("__shard_off", off)
+            .withColumn(out_col, F.expr(f"__shard_off DIV {shard_bytes}"))
+            .drop("__shard_off"))

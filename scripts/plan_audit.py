@@ -52,6 +52,7 @@ AUDIT = [
     ("simplify", "Douglas-Peucker: ring assembly shuffle + one mapInPandas"),
     ("overzoom", "tile overzoom: decode/crop/upsample/encode mapInPandas chain"),
     ("clip_lines", "Liang-Barsky line clip: codegen only; lead() window forms segments"),
+    ("tile_shards", "shard packing: one key shuffle + window cumsum, integer DIV"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage

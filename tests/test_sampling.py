@@ -57,3 +57,31 @@ def test_group_centroids_matches_numpy(spark):
         rows = q[lab == g]
         for p in range(dim):
             assert got[(g, p)] == (int(rows[:, p].sum()), len(rows))
+
+
+@pytest.mark.spark
+def test_assign_shards_packing_invariants(spark):
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 3).alias("g"),
+        (F.pmod(F.col("id") * 37, F.lit(500)) + 100).alias("sz"))
+    out = S.assign_shards(df, ["g"], "sz", shard_bytes=1000).collect()
+    by_group = {}
+    for r in sorted(out, key=lambda r: (r.g, r.id)):
+        by_group.setdefault(r.g, []).append(r)
+    for g, rows in by_group.items():
+        # shard ids are dense and non-decreasing in id order
+        shards = [r.shard for r in rows]
+        assert shards[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(shards, shards[1:]))
+        assert sorted(set(shards)) == list(range(max(shards) + 1))
+        # every shard except the last spans >= shard_bytes once closed:
+        # the first row of shard k+1 has prefix sum >= 1000*(k+1)
+        pref = 0
+        for r in rows:
+            assert r.shard == pref // 1000
+            pref += r.sz
+    # deterministic across physical layouts
+    a = sorted((r.id, r.shard) for r in out)
+    b = sorted((r.id, r.shard) for r in
+               S.assign_shards(df.repartition(13), ["g"], "sz", 1000).collect())
+    assert a == b
