@@ -104,10 +104,12 @@ def main() -> None:
     # perturbs GC enough to shift cold numbers); the warm pass follows
     warm: dict[str, float] = {}
     for name in bench_set:
+        print(f"[bench] cold {name}", file=sys.stderr, flush=True)
         t0 = time.time()
         _force(qs[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
     for name in bench_set:
+        print(f"[bench] warm {name}", file=sys.stderr, flush=True)
         t1 = time.time()
         _force(qs[name](spark, SF_DIR))
         warm[name] = round(time.time() - t1, 3)

@@ -826,9 +826,27 @@ def partitioned_intersects_join(feats: DataFrame, polys: DataFrame, z: int = 9, 
         F.col("__v.__fxs").alias("__x"), F.col("__v.__fys").alias("__y"))
     cand = cand.join(fvert, on="__fid")
 
-    polyrep = pp.select(
-        F.col("__pid").alias("__pid_r"), "__pxs", "__pys",
-        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("__salt_r"))
+    # the polygon side must ALSO be scalar rows through the cogroup: the
+    # same arrow_to_pandas segfault fires on its sliced array<array<double>>
+    # ring columns once enough (polygon, salt) groups share an Arrow batch
+    # (reproduced at sf0.1; the candidate-side fix alone was not enough).
+    # One (pid, ring_idx, vert_idx, x, y) row per vertex; rings rebuild in
+    # the kernel by (ring, vertex) sort + np.split.
+    pvert = pp.select("__pid", F.col("__pxs").alias("pxs"),
+                      F.col("__pys").alias("pys"))
+    pvert = pvert.select(
+        "__pid", F.posexplode(F.arrays_zip("pxs", "pys")).alias("__ri", "__ring"))
+    pvert = pvert.select(
+        "__pid", "__ri",
+        F.col("__ring.pxs").alias("rxs"), F.col("__ring.pys").alias("rys"))
+    pvert = pvert.select(
+        "__pid", "__ri",
+        F.posexplode(F.arrays_zip("rxs", "rys")).alias("__pvi", "__pv"))
+    pvert = pvert.select(
+        F.col("__pid").alias("__pid_r"), "__ri", "__pvi",
+        F.col("__pv.rxs").alias("__px"), F.col("__pv.rys").alias("__py"))
+    polyrep = pvert.withColumn(
+        "__salt_r", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
 
     id_t = feats.schema[id_col].dataType.simpleString()
     pid_t = polys.schema[poly_id_col].dataType.simpleString()
@@ -838,10 +856,12 @@ def partitioned_intersects_join(feats: DataFrame, polys: DataFrame, z: int = 9, 
         empty = pd.DataFrame({id_col: [], type_col: [], poly_id_col: []})
         if cand_pdf.empty or poly_pdf.empty:
             return empty
-        xs, ys = poly_pdf["__pxs"].iloc[0], poly_pdf["__pys"].iloc[0]
-        rings = [np.column_stack([np.asarray(x, dtype=np.float64),
-                                  np.asarray(y, dtype=np.float64)])
-                 for x, y in zip(xs, ys)]
+        poly_pdf = poly_pdf.sort_values(["__ri", "__pvi"], kind="mergesort")
+        ri = poly_pdf["__ri"].to_numpy()
+        _, rstarts = np.unique(ri, return_index=True)  # ring order ascending
+        rx = np.split(poly_pdf["__px"].to_numpy(dtype=np.float64), rstarts[1:])
+        ry = np.split(poly_pdf["__py"].to_numpy(dtype=np.float64), rstarts[1:])
+        rings = [np.column_stack([x, y]) for x, y in zip(rx, ry)]
         poly = G.Polygon(rings[0], rings[1:])
         # rebuild ragged per-feature vertex arrays from the scalar rows
         cand_pdf = cand_pdf.sort_values(["__fid", "__vi"], kind="mergesort")
