@@ -62,10 +62,55 @@ def flagship_rows_per_sec(spark, sf_dir: str) -> tuple[float, int, float]:
     return n_in / dt, n_out, dt
 
 
+def _flagship_isolated() -> dict | None:
+    """Run the flagship in its OWN JVM (subprocess) — the headline number.
+
+    In-session, the flagship runs after the whole per-query sweep, so its
+    reading degrades every round the suite GROWS (more queries -> more
+    old-gen history before measurement; r5: 78 prior executions vs r4's
+    48, readings 4.9-8.2 s vs 2.1 s for the same plan). A fresh JVM makes
+    the headline a function of the engine, not of the suite's length.
+    """
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_FLAGSHIP_ONLY="1")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=900)
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        return json.loads(line)
+    except Exception as ex:  # noqa: BLE001 — fall back to in-session reading
+        print(f"[bench] isolated flagship failed: {ex}", file=sys.stderr)
+        return None
+
+
 def main() -> None:
     from mvt_wrangler_spark.session import get_spark
 
     import __spark_entry__ as e
+
+    if os.environ.get("SPARK_GRAFT_FLAGSHIP_ONLY") == "1":
+        spark = get_spark(
+            master=f"local[{CPUS}]",
+            app_name="bench-flagship",
+            extra={"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024)},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        rps, n_out, dt = flagship_rows_per_sec(spark, SF_DIR)
+        print(json.dumps({"rps": round(rps, 1), "n_out": n_out,
+                          "sec": round(dt, 3)}))
+        spark.stop()
+        return
+
+    # headline FIRST, in its own JVM, BEFORE the sweep JVM exists: the
+    # subprocess otherwise competes with the sweep JVM's resident heap
+    # (spark.stop() does not release RSS — measured 9.6 s isolated beside
+    # a stopped-but-resident parent vs 1.8 s in-session for the same plan).
+    # Side effect on the sweep below: the OS page cache is warm — which is
+    # the protocol anyway (cold = first plan execution, not cold IO).
+    iso = _flagship_isolated()
 
     # 4MB splits: the sf0.1 files are a few MB, so default 128MB splits give
     # 1-3 input partitions — a small-file artifact that would serialize 32
@@ -114,7 +159,15 @@ def main() -> None:
         _force(qs[name](spark, SF_DIR))
         warm[name] = round(time.time() - t1, 3)
 
-    rps, n_out, dt = flagship_rows_per_sec(spark, SF_DIR)
+    # headline: isolated fresh-JVM flagship (see _flagship_isolated); the
+    # in-session reading is also kept — it is the r4-comparable number and
+    # doubles as the heap-aging telltale (in-session >> isolated = the
+    # single-JVM old-gen artifact, not an engine change)
+    rps_in, n_out_in, dt_in = flagship_rows_per_sec(spark, SF_DIR)
+    if iso:
+        rps, dt, n_out = iso["rps"], iso["sec"], iso["n_out"]
+    else:
+        rps, dt, n_out = rps_in, dt_in, n_out_in
 
     # stdout gets a COMPACT line only: the driver captures a bounded stdout
     # tail, and round 4's full payload (cold + warm series + nested scaling
@@ -135,6 +188,8 @@ def main() -> None:
         "cpus": int(CPUS) if CPUS.isdigit() else CPUS,
         "flagship_out_rows": n_out,
         "flagship_sec": round(dt, 3),
+        "flagship_protocol": "isolated-jvm" if iso else "in-session",
+        "flagship_sec_insession": round(dt_in, 3),
         "detail": "BENCH/last_run.json",
     }
     full = dict(result)
