@@ -111,6 +111,11 @@ def main() -> None:
     # Side effect on the sweep below: the OS page cache is warm — which is
     # the protocol anyway (cold = first plan execution, not cold IO).
     iso = _flagship_isolated()
+    # settle: the subprocess just released a multi-GB heap; starting the
+    # sweep JVM mid-reclaim puts kernel compaction stalls into the first
+    # cold readings (observed: tile_assign 34 s, tag_filter 193 s in the
+    # run that launched the sweep immediately after the subprocess exit)
+    time.sleep(15)
 
     # 4MB splits: the sf0.1 files are a few MB, so default 128MB splits give
     # 1-3 input partitions — a small-file artifact that would serialize 32
