@@ -1157,6 +1157,23 @@ def q_tile_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id", "x", "y", "nbytes", "shard"))
 
 
+def q_spatial_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-radius single-linkage spatial clustering (DBSCAN min_pts=1):
+    eps-grid cells + 9-stencil HASH join for candidates (never a distance
+    cross-join), integer-exact dist² refine, large-star/small-star
+    closure, singletons preserved — merge-duplicate-pins at 10^12 scale.
+    Pure DataFrame ops end to end, no Python."""
+    from mvt_wrangler_spark.operators.spatial_cluster import grid_cluster
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber").cast("long")
+    pts = li.select(
+        (ok * 8 + ln).alias("id"),
+        F.pmod(ok * 7919 + ln * 104729, F.lit(4096)).alias("px"),
+        F.pmod(ok * 104729 + ln * 7919, F.lit(4096)).alias("py"))
+    return grid_cluster(pts, eps=16)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full spatial pipeline at sf0.001 -> per-tile stats."""
     return q_pipeline_e2e(spark, "/root/testdata/sf0.001")
@@ -1221,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overzoom": q_overzoom,
         "clip_lines": q_clip_lines,
         "tile_shards": q_tile_shards,
+        "spatial_cluster": q_spatial_cluster,
     }
 
 
@@ -1824,6 +1842,15 @@ __segs AS (SELECT * FROM __seg0 WHERE x2 IS NOT NULL),
 SELECT gkey, seq, qx1, qy1, qx2, qy2 FROM __lseg
 """
 
+    from mvt_wrangler_spark.operators.spatial_cluster import grid_cluster_sql
+
+    spatial_cluster_pts = """
+SELECT CAST(l_orderkey*8 + l_linenumber AS BIGINT) AS id,
+       ((l_orderkey*7919 + CAST(l_linenumber AS BIGINT)*104729) % 4096 + 4096) % 4096 AS px,
+       ((l_orderkey*104729 + CAST(l_linenumber AS BIGINT)*7919) % 4096 + 4096) % 4096 AS py
+FROM lineitem"""
+    spatial_cluster_sql = grid_cluster_sql(spatial_cluster_pts, eps=16)
+
     from mvt_wrangler_spark.operators.simplify import simplify_sql
 
     simplify = f"""
@@ -1885,6 +1912,7 @@ FROM {gh_last}"""
         "overzoom": overzoom_sql,
         "clip_lines": clip_lines,
         "tile_shards": tile_shards,
+        "spatial_cluster": spatial_cluster_sql,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

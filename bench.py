@@ -142,7 +142,7 @@ def main() -> None:
         # round-5 additions
         "geom_measures", "geocode", "cell_cover_join", "tile_sample",
         "embed_centroids", "clip_tile", "simplify", "overzoom", "clip_lines",
-        "tile_shards",
+        "tile_shards", "spatial_cluster",
     ]
     # two readings per query: cold (first run — the round-over-round
     # comparable series, includes codegen/JIT compile) and warm (second run —
