@@ -1755,8 +1755,8 @@ WITH __v AS (
 __vk AS (SELECT * FROM __v WHERE gkey IN
          (SELECT gkey FROM __v GROUP BY gkey HAVING count(*) >= 3)),
 {measures_sql('__vk', 'gkey', 'vx', 'vy', 'vord')}
-SELECT gkey, n_vertices, abs(a2_signed) AS area2, cx_num, cy_num,
-       3*a2_signed AS den, perim2, len2_open, minx, miny, maxx, maxy
+SELECT gkey, n_vertices, CAST(abs(a2_signed) AS BIGINT) AS area2, cx_num, cy_num,
+       CAST(3*a2_signed AS BIGINT) AS den, perim2, len2_open, minx, miny, maxx, maxy
 FROM __m WHERE abs(a2_signed) >= 32
 """
 

@@ -116,14 +116,18 @@ __seg AS (
                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ),
 __m AS (
+  -- DuckDB sum(BIGINT) returns HUGEINT (int128); CAST every sum back to
+  -- BIGINT so downstream canonicalizers hash the same lexical form as the
+  -- Spark int64 values (values provably fit: |Σ| <= 2^60, see module doc).
   SELECT gkey,
          count(*) AS n_vertices,
-         sum(x*yn - xn*y) AS a2_signed,
-         sum((x + xn) * (x*yn - xn*y)) AS cx_num,
-         sum((y + yn) * (x*yn - xn*y)) AS cy_num,
-         sum((xn - x)*(xn - x) + (yn - y)*(yn - y)) AS perim2,
-         sum(CASE WHEN wrap THEN 0
-                  ELSE (xn - x)*(xn - x) + (yn - y)*(yn - y) END) AS len2_open,
+         CAST(sum(x*yn - xn*y) AS BIGINT) AS a2_signed,
+         CAST(sum((x + xn) * (x*yn - xn*y)) AS BIGINT) AS cx_num,
+         CAST(sum((y + yn) * (x*yn - xn*y)) AS BIGINT) AS cy_num,
+         CAST(sum((xn - x)*(xn - x) + (yn - y)*(yn - y)) AS BIGINT) AS perim2,
+         CAST(sum(CASE WHEN wrap THEN 0
+                  ELSE (xn - x)*(xn - x) + (yn - y)*(yn - y) END) AS BIGINT)
+             AS len2_open,
          min(x) AS minx, min(y) AS miny, max(x) AS maxx, max(y) AS maxy
   FROM __seg GROUP BY gkey
 )

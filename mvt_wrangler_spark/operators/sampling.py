@@ -17,8 +17,10 @@ both public) with xor-shift steps between them. The xor is load-bearing: a
 single affine step mod p has severe serial correlation (consecutive ids
 select with an even/odd stripe pattern, and a salt merely rotates the same
 pattern — composing affine rounds stays affine), while the xor breaks
-linearity. Intermediates stay < 2^31 * 2^31 < int64 max, so no ANSI
-overflow, and every step is exactly expressible in DuckDB for the twins.
+linearity. The raw id is reduced mod p BEFORE the first multiply, so every
+intermediate stays < 2^31 * 2^31 < int64 max for the FULL int64 id range
+(xxhash64-style ids included) — no ANSI overflow, and every step is exactly
+expressible in DuckDB for the twins.
 """
 
 from __future__ import annotations
@@ -33,8 +35,14 @@ _MOD = 2147483647
 
 
 def sample_hash(id_col: Column, salt: int = 0) -> Column:
-    """Deterministic uniform-ish hash in [0, 2^31-2] from an int64 id."""
-    h = F.pmod(id_col * F.lit(_M1) + F.lit(_INC + salt), F.lit(_MOD))
+    """Deterministic uniform-ish hash in [0, 2^31-2] from an int64 id.
+
+    The id is reduced mod p first: (id % p) * _M1 is congruent to id * _M1
+    mod p, so results are unchanged for small ids, while |id| >= ~8.4e9 no
+    longer overflows int64 in the multiply (ANSI-safe for full-range ids).
+    """
+    h = F.pmod(F.pmod(id_col, F.lit(_MOD)) * F.lit(_M1)
+               + F.lit(_INC + salt), F.lit(_MOD))
     h = h.bitwiseXOR(F.shiftrightunsigned(h, 15))
     h = F.pmod(h * F.lit(_M2), F.lit(_MOD))
     h = h.bitwiseXOR(F.shiftrightunsigned(h, 13))
@@ -42,7 +50,8 @@ def sample_hash(id_col: Column, salt: int = 0) -> Column:
 
 
 def sample_hash_sql(id_col: str, salt: int = 0) -> str:
-    h1 = f"((({id_col} * {_M1} + {_INC + salt}) % {_MOD} + {_MOD}) % {_MOD})"
+    r = f"((CAST({id_col} AS BIGINT) % {_MOD} + {_MOD}) % {_MOD})"
+    h1 = f"((({r} * {_M1} + {_INC + salt}) % {_MOD} + {_MOD}) % {_MOD})"
     h2 = f"xor({h1}, {h1} >> 15)"
     h3 = f"(({h2} * {_M2}) % {_MOD})"
     h4 = f"xor({h3}, {h3} >> 13)"
@@ -82,10 +91,13 @@ def assign_shards(df: DataFrame, keys: list[str], size_col: str,
 
     The webdataset-style sharding step of a curation pipeline, as exact
     integer column math: assignment is a pure function of the input set
-    (stable across runs and cluster sizes), every shard except the last
-    per group reaches at least shard_bytes (greedy first-fit in id order),
-    and the plan is one key shuffle + window cumsum — no Python, no
-    driver-side packing loop.
+    (stable across runs and cluster sizes), and the plan is one key shuffle
+    + window cumsum — no Python, no driver-side packing loop. Invariant
+    (offset-based): the first row of shard k+1 has prefix sum
+    >= (k+1)*shard_bytes, i.e. shard boundaries fall at fixed byte offsets;
+    a row that OVERHANGS a boundary counts toward the shard it starts in,
+    so a non-last shard can hold less than shard_bytes of row-starts while
+    the byte RANGE it covers is always exactly shard_bytes.
     """
     from pyspark.sql import Window
 

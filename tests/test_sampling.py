@@ -20,6 +20,32 @@ def test_hash_sample_reproducible_and_partition_independent(spark):
 
 
 @pytest.mark.spark
+def test_hash_sample_full_int64_id_range(spark):
+    """Full-range ids (xxhash64-style, |id| >= 2^33) must not overflow:
+    the pre-reduction mod p keeps every intermediate < 2^62, and results
+    stay congruent with the small-id form (h(id) == h(id % p) for id > 0)."""
+    big = [2**62, 2**62 + 12345, -(2**61), 9223372036854775807,
+           -9223372036854775808 + 1, 8_400_000_000, 2**31, 7]
+    df = spark.createDataFrame([(b,) for b in big], "id long")
+    rows = {r.id: r.h for r in
+            df.select("id", S.sample_hash(F.col("id")).alias("h")).collect()}
+    assert all(0 <= v < S._MOD for v in rows.values())
+    # congruence with the reduced id (exact for non-negative ids)
+    small = spark.createDataFrame(
+        [(b % S._MOD,) for b in big if b > 0], "id long")
+    reduced = [r.h for r in
+               small.select(S.sample_hash(F.col("id")).alias("h")).collect()]
+    assert reduced == [rows[b] for b in big if b > 0]
+    # DuckDB twin agrees on the same huge ids
+    import duckdb
+
+    for b in big:
+        got = duckdb.sql(
+            f"SELECT {S.sample_hash_sql(str(b))} AS h").fetchone()[0]
+        assert got == rows[b], b
+
+
+@pytest.mark.spark
 def test_stratified_topk_exact_k_per_group(spark):
     df = spark.range(1000).select(
         F.col("id"), (F.col("id") % 7).alias("g"))
