@@ -1159,9 +1159,12 @@ def q_tile_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_spatial_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-radius single-linkage spatial clustering (DBSCAN min_pts=1):
-    eps-grid cells + 9-stencil HASH join for candidates (never a distance
-    cross-join), integer-exact dist² refine, large-star/small-star
-    closure, singletons preserved — merge-duplicate-pins at 10^12 scale.
+    points collapse into sub-eps cells (same-cell => within eps by
+    construction), cell-pair candidates via a half-stencil HASH join
+    (never a distance cross-join) with bbox gap tests that connect or
+    drop most pairs for free, integer-exact dist² refine on borderline
+    pairs only, large-star/small-star closure over the CELL graph,
+    singletons preserved — merge-duplicate-pins at 10^12 scale.
     Pure DataFrame ops end to end, no Python."""
     from mvt_wrangler_spark.operators.spatial_cluster import grid_cluster
 

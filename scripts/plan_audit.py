@@ -53,7 +53,7 @@ AUDIT = [
     ("overzoom", "tile overzoom: decode/crop/upsample/encode mapInPandas chain"),
     ("clip_lines", "Liang-Barsky line clip: codegen only; lead() window forms segments"),
     ("tile_shards", "shard packing: one key shuffle + window cumsum, integer DIV"),
-    ("spatial_cluster", "eps-grid 9-stencil hash join + closure; no distance cross-join"),
+    ("spatial_cluster", "sub-eps cell collapse + half-stencil hash join, bbox-gap prune, cell-graph closure; no distance cross-join"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage
