@@ -183,10 +183,16 @@ def partitioned_pip_join(points: DataFrame, polys: DataFrame, z: int = 9, *,
         .withColumn("__salt", F.pmod(F.xxhash64("__id"), F.lit(n_salt)))
     )
     # distinct column names on the replica side: both cogroup inputs descend
-    # from `p`, and identically-named keys trip the ambiguous-self-join check
+    # from `p`, and identically-named keys trip the ambiguous-self-join check.
+    # The salt MUST be cast to long: cogroup partitions each side by ITS OWN
+    # key types with no cross-side coercion, so an int salt here vs the long
+    # pmod(xxhash64) salt on cand hashes to different partitions and the two
+    # sides of a key silently arrive as two half-empty groups (observed at
+    # sf0.1: salt=1 split, whole candidate slices dropped).
     polyrep = p.select(
         F.col("__pid").alias("__pid_r"), "__xs", "__ys",
-        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("__salt_r"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))
+                  .cast("array<bigint>")).alias("__salt_r"),
     )
 
     id_t = points.schema[id_col].dataType.simpleString()
@@ -758,7 +764,11 @@ def partitioned_intersects_join(feats: DataFrame, polys: DataFrame, z: int = 9, 
     """
     from ..functions import tiling as T
 
-    def _cover(df, idc, bbox_cols, what):
+    def _cover(df, idc, bbox_cols, what, pfx):
+        """Tile cover of each bbox; the 4 bbox corners RIDE ALONG as
+        `{pfx}0x..{pfx}1y` so the candidate join can bbox-prune pairs that
+        merely share a coarse tile before anything wide moves (the cover
+        rows stay slim: id + 2 tile ints + 4 doubles)."""
         bx0, bx1, by0, by1 = bbox_cols
         d = df.withColumns({
             "__tx0": T.tile_x(bx0, z), "__tx1": T.tile_x(bx1, z),
@@ -772,9 +782,12 @@ def partitioned_intersects_join(feats: DataFrame, polys: DataFrame, z: int = 9, 
             F.col(idc).cast("string"),
             F.lit(f" covers > {max_tiles} tiles at z={z}")))
         d = d.withColumn("__tx0", F.when(guard.isNull(), F.col("__tx0")))
-        return (d.select(idc, F.explode(F.sequence("__tx0", "__tx1")).alias("__tx"),
+        bb = {f"{pfx}0x": bx0, f"{pfx}1x": bx1,
+              f"{pfx}0y": by0, f"{pfx}1y": by1}
+        return (d.select(idc, *[c.alias(n) for n, c in bb.items()],
+                         F.explode(F.sequence("__tx0", "__tx1")).alias("__tx"),
                          "__ty0", "__ty1")
-                 .select(idc, "__tx",
+                 .select(idc, *bb.keys(), "__tx",
                          F.explode(F.sequence("__ty0", "__ty1")).alias("__ty")))
 
     f = feats.select(
@@ -785,7 +798,7 @@ def partitioned_intersects_join(feats: DataFrame, polys: DataFrame, z: int = 9, 
                        "__miny": F.array_min("__fys"), "__maxy": F.array_max("__fys")}),
         "__fid",
         (F.col("__minx"), F.col("__maxx"), F.col("__miny"), F.col("__maxy")),
-        "feature")
+        "feature", "__fb")
 
     pp = polys.select(
         F.col(poly_id_col).alias("__pid"),
@@ -796,10 +809,16 @@ def partitioned_intersects_join(feats: DataFrame, polys: DataFrame, z: int = 9, 
                         "__miny": F.array_min(ext_y), "__maxy": F.array_max(ext_y)}),
         "__pid",
         (F.col("__minx"), F.col("__maxx"), F.col("__miny"), F.col("__maxy")),
-        "polygon")
+        "polygon", "__pb")
 
-    # slim candidate pairs, deduped across shared tiles BEFORE arrays move
+    # slim candidate pairs: bbox overlap (a NECESSARY condition for
+    # intersects) prunes pairs that only share a coarse tile, THEN dedup
+    # across shared tiles — all before the wide vertex arrays move
     cand = (fcov.join(pcov, on=["__tx", "__ty"])
+            .filter((F.col("__fb0x") <= F.col("__pb1x"))
+                    & (F.col("__pb0x") <= F.col("__fb1x"))
+                    & (F.col("__fb0y") <= F.col("__pb1y"))
+                    & (F.col("__pb0y") <= F.col("__fb1y")))
             .select("__fid", "__pid").distinct()
             .withColumn("__salt", F.pmod(F.xxhash64("__fid"), F.lit(n_salt))))
     # SCALAR vertex rows, not array columns: pyarrow's arrow_to_pandas
@@ -845,8 +864,14 @@ def partitioned_intersects_join(feats: DataFrame, polys: DataFrame, z: int = 9, 
     pvert = pvert.select(
         F.col("__pid").alias("__pid_r"), "__ri", "__pvi",
         F.col("__pv.rxs").alias("__px"), F.col("__pv.rys").alias("__py"))
+    # long cast: cogroup keys are partitioned per side WITHOUT cross-side
+    # type coercion — an int salt here vs cand's long salt lands the two
+    # sides of one key in different partitions (rows silently lost; see
+    # partitioned_pip_join's polyrep note)
     polyrep = pvert.withColumn(
-        "__salt_r", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+        "__salt_r",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))
+                  .cast("array<bigint>")))
 
     id_t = feats.schema[id_col].dataType.simpleString()
     pid_t = polys.schema[poly_id_col].dataType.simpleString()
