@@ -177,7 +177,7 @@ def q_intersects_join_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame
     polys = spark.createDataFrame(
         rows, "admin_id string, xs array<array<double>>, ys array<array<double>>")
     return J.partitioned_intersects_join(
-        feats, polys, z=5, poly_id_col="admin_id", n_salt=4).select(
+        feats, polys, z=5, poly_id_col="admin_id", n_salt=16).select(
         "id", "geom_type", "admin_id")
 
 

@@ -120,16 +120,23 @@ def partitioned_pip_join(points: DataFrame, polys: DataFrame, z: int = 9, *,
          on the tile key -> candidate (point, polygon) pairs. A point has
          exactly ONE tile, so no candidate pair duplicates and no dedup
          shuffle is needed.
-      3. exact refine via COGROUPED applyInPandas on (poly_id, salt):
-         ring arrays cross the wire once per (polygon, salt), NOT once per
-         candidate row — the record-carrying trap measured 24x slower on
-         [[ngram-jaccard]]'s candidate join applies identically here.
-         points_in_polygon vectorizes the whole group in one numpy pass.
+      3. exact refine as PURE CODEGEN: polygon rings explode once to slim
+         EDGE rows and equi-join the candidates on (poly_id, salt); the
+         even-odd ray-casting rule of functions/geometry.points_in_ring is
+         reproduced term for term as column math (identical double
+         arithmetic, so results are bit-identical to the numpy kernel) and
+         a two-level aggregation — per-ring crossing parity, then
+         exterior AND NOT any(hole) — decides containment. No Python
+         boundary at all: the earlier cogrouped-applyInPandas refine moved
+         every candidate row through Arrow and was the dominant cost
+         (measured 45 s warm at sf0.1 vs ~5 s for this plan).
       4. skew: a metro tile with 10^6 points under one big polygon would
-         make one cogroup key hot; candidates salt by xxhash64(point id) %
-         n_salt and each polygon replicates n_salt times (cheap: n_salt
-         small rows per polygon), bounding any single group at ~1/n_salt of
-         a polygon's candidates.
+         make one join key hot; candidates salt by xxhash64(point id) %
+         n_salt and each polygon's edges replicate n_salt times (cheap:
+         n_salt * edges slim rows per polygon), bounding any single key at
+         ~1/n_salt of a polygon's candidates. Both partial aggregations
+         combine map-side, so the parity shuffle carries one row per
+         (candidate, ring), not per edge.
     """
     from ..functions import tiling as T
 
@@ -170,10 +177,15 @@ def partitioned_pip_join(points: DataFrame, polys: DataFrame, z: int = 9, *,
                 F.explode(F.sequence("__ty0", "__ty1")).alias("__ty"))
     )
 
-    pt = points.select(
-        F.col(id_col).alias("__id"),
-        F.col(lon_col).alias("__lon"), F.col(lat_col).alias("__lat"),
-    ).withColumns({
+    # duplicate (id, lon, lat) rows refine once and re-expand by count at
+    # the end (rows with equal key are identical, so this is lossless);
+    # rows sharing an id with different coordinates stay distinct groups
+    mult = (points.select(F.col(id_col).alias("__id"),
+                          F.col(lon_col).alias("__lon"),
+                          F.col(lat_col).alias("__lat"))
+            .groupBy("__id", "__lon", "__lat")
+            .agg(F.count(F.lit(1)).alias("__mult")))
+    pt = mult.withColumns({
         "__tx": T.tile_x(F.col("__lon"), z),
         "__ty": T.tile_y(F.col("__lat"), z),
     })
@@ -182,45 +194,69 @@ def partitioned_pip_join(points: DataFrame, polys: DataFrame, z: int = 9, *,
         .select("__pid", "__id", "__lon", "__lat")
         .withColumn("__salt", F.pmod(F.xxhash64("__id"), F.lit(n_salt)))
     )
-    # distinct column names on the replica side: both cogroup inputs descend
-    # from `p`, and identically-named keys trip the ambiguous-self-join check.
-    # The salt MUST be cast to long: cogroup partitions each side by ITS OWN
-    # key types with no cross-side coercion, so an int salt here vs the long
-    # pmod(xxhash64) salt on cand hashes to different partitions and the two
-    # sides of a key silently arrive as two half-empty groups (observed at
-    # sf0.1: salt=1 split, whole candidate slices dropped).
-    polyrep = p.select(
-        F.col("__pid").alias("__pid_r"), "__xs", "__ys",
+    # polygon EDGE rows: ring index + consecutive vertex pairs — exactly
+    # the edges points_in_ring tests AFTER Polygon._close_ring appends the
+    # first vertex to an open ring (exact float first!=last check, same as
+    # np.array_equal there). Replicated per salt; the exterior bbox rides
+    # along for the kernel's pre-cull.
+    ring = p.select("__pid", "__minx", "__maxx", "__miny", "__maxy",
+                    F.posexplode(F.arrays_zip(
+                        F.col("__xs").alias("rx"),
+                        F.col("__ys").alias("ry"))).alias("__ri", "__r"))
+    oxs, oys = F.col("__r.rx"), F.col("__r.ry")
+    is_open = (F.size(oxs) > 0) & (
+        (F.element_at(oxs, 1) != F.element_at(oxs, -1))
+        | (F.element_at(oys, 1) != F.element_at(oys, -1)))
+    ring = ring.select(
+        "__pid", "__ri", "__minx", "__maxx", "__miny", "__maxy",
+        F.when(is_open, F.concat(oxs, F.array(F.element_at(oxs, 1))))
+        .otherwise(oxs).alias("__rxs"),
+        F.when(is_open, F.concat(oys, F.array(F.element_at(oys, 1))))
+        .otherwise(oys).alias("__rys"))
+    rxs, rys = F.col("__rxs"), F.col("__rys")
+    m = F.greatest(F.size(rxs) - 1, F.lit(0))
+    edges = ring.select(
+        "__pid", "__ri", "__minx", "__maxx", "__miny", "__maxy",
+        F.posexplode(F.arrays_zip(
+            F.slice(rxs, 1, m).alias("x1"), F.slice(rys, 1, m).alias("y1"),
+            F.slice(rxs, 2, m).alias("x2"), F.slice(rys, 2, m).alias("y2"),
+        )).alias("__ei", "__e"))
+    edges = edges.select(
+        "__pid", "__ri", "__minx", "__maxx", "__miny", "__maxy",
+        F.col("__e.x1").alias("__x1"), F.col("__e.y1").alias("__y1"),
+        F.col("__e.x2").alias("__x2"), F.col("__e.y2").alias("__y2"),
+        # long salt: must match cand's pmod(xxhash64) type exactly — the
+        # equi-join coerces, but keeping both long avoids a cast in the key
         F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))
-                  .cast("array<bigint>")).alias("__salt_r"),
-    )
+                  .cast("array<bigint>")).alias("__salt"))
 
-    id_t = points.schema[id_col].dataType.simpleString()
-    pid_t = polys.schema[poly_id_col].dataType.simpleString()
-    out_schema = f"{id_col} {id_t}, {poly_id_col} {pid_t}"
-
-    def _refine(key, cand_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({id_col: [], poly_id_col: []})
-        if cand_pdf.empty or poly_pdf.empty:
-            return empty
-        xs, ys = poly_pdf["__xs"].iloc[0], poly_pdf["__ys"].iloc[0]
-        rings = [np.column_stack([np.asarray(x, dtype=np.float64),
-                                  np.asarray(y, dtype=np.float64)])
-                 for x, y in zip(xs, ys)]
-        poly = G.Polygon(rings[0], rings[1:])
-        inside = G.points_in_polygon(
-            cand_pdf["__lon"].to_numpy(dtype=np.float64),
-            cand_pdf["__lat"].to_numpy(dtype=np.float64), poly)
-        if not inside.any():
-            return empty
-        return pd.DataFrame({id_col: cand_pdf["__id"].to_numpy()[inside],
-                             poly_id_col: key[0]})
-
-    return (
-        cand.groupBy("__pid", "__salt")
-        .cogroup(polyrep.groupBy("__pid_r", "__salt_r"))
-        .applyInPandas(_refine, out_schema)
-    )
+    px, py = F.col("__lon"), F.col("__lat")
+    j = (cand.join(edges, on=["__pid", "__salt"])
+         # same inclusive exterior-bbox pre-cull as points_in_polygon
+         .filter((px >= F.col("__minx")) & (px <= F.col("__maxx"))
+                 & (py >= F.col("__miny")) & (py <= F.col("__maxy"))))
+    # points_in_ring's crossing rule, identical double arithmetic: a
+    # rightward ray crosses edge (x1,y1)->(x2,y2) iff (y1>py) != (y2>py)
+    # and px < the edge's x at py (denominator masked to 1.0 when y1==y2,
+    # where the parity condition is false anyway)
+    den = F.when(F.col("__y2") != F.col("__y1"),
+                 F.col("__y2") - F.col("__y1")).otherwise(F.lit(1.0))
+    xint = (F.col("__x1")
+            + (py - F.col("__y1")) * (F.col("__x2") - F.col("__x1")) / den)
+    cross = ((F.col("__y1") > py) != (F.col("__y2") > py)) & (px < xint)
+    parity = j.groupBy("__id", "__lon", "__lat", "__pid", "__ri").agg(
+        (F.sum(cross.cast("int")) % 2 == 1).alias("__odd"))
+    inside = (parity.groupBy("__id", "__lon", "__lat", "__pid").agg(
+        F.coalesce(F.max(F.when(F.col("__ri") == 0, F.col("__odd"))),
+                   F.lit(False)).alias("__ext"),
+        F.coalesce(F.max(F.when(F.col("__ri") > 0, F.col("__odd"))),
+                   F.lit(False)).alias("__hole"))
+        .filter(F.col("__ext") & ~F.col("__hole")))
+    return (inside.join(mult, on=["__id", "__lon", "__lat"])
+            .withColumn("__rep", F.explode(
+                F.array_repeat(F.lit(1), F.col("__mult").cast("int"))))
+            .select(F.col("__id").alias(id_col),
+                    F.col("__pid").alias(poly_id_col)))
 
 
 # ---------------------------------------------------------------------------

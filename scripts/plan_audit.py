@@ -40,9 +40,9 @@ AUDIT = [
     ("tile_quantiles", "exact quantiles via range-repartitioned global rank"),
     ("asof_join", "union-stream as-of join: one key shuffle, no range-join blowup"),
     ("ngram_jaccard", "exact Jaccard: slim prefix join, arrays re-attached post-dedup"),
-    ("pip_join_partitioned", "non-broadcast PIP: tile-cover equi-join + cogrouped refine"),
+    ("pip_join_partitioned", "non-broadcast PIP: tile-cover equi-join + codegen edge-parity refine, no Python"),
     ("interval_join", "range join as bucketed equi-join — must have NO nested-loop stage"),
-    ("intersects_join_partitioned", "both-side tile covers + slim pair dedup + cogrouped refine"),
+    ("intersects_join_partitioned", "both-side tile covers + bbox prune + slim pair dedup + salted cogrouped refine"),
     ("geom_measures", "ring measures: one collect_list shuffle + codegen array math"),
     ("geocode", "geohash/quadkey: zero-shuffle single-pass codegen projection"),
     ("cell_cover_join", "S2 cover join: broadcast region cells, no geometry shuffle"),
