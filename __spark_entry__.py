@@ -948,7 +948,7 @@ def q_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cell_cover_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical S2 cover join: regions are SETS OF COARSE CELLS (level-6
+    """Canonical S2 cover join: regions are SETS OF COARSE CELLS (level-5
     parents of a deterministic point subset), points join by truncating
     their level-12 cell to the region level — an equi-join on bit
     arithmetic, zero geometry at join time. This is the spatial-join shape
@@ -964,11 +964,11 @@ def q_cell_cover_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.cells_from_xyz_column(F.col("x"), F.col("y"), F.col("z"),
                                 level=12, res=7))
     d = d.select("id", F.col("__cells.s2_cell").alias("s2"))
-    d = d.withColumn("p6", C.s2_parent_column(F.col("s2"), 5))
+    d = d.withColumn("p5", C.s2_parent_column(F.col("s2"), 5))
     regions = (d.filter(F.pmod(F.col("id"), F.lit(29)) == 0)
-               .select(F.col("p6").alias("rcell")).distinct())
-    return (d.join(F.broadcast(regions), d.p6 == regions.rcell)
-            .select("id", "p6"))
+               .select(F.col("p5").alias("rcell")).distinct())
+    return (d.join(F.broadcast(regions), d.p5 == regions.rcell)
+            .select("id", "p5"))
 
 
 def q_tile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1769,9 +1769,9 @@ FROM __m WHERE abs(a2_signed) >= 32
     cell_cover_join = (
         f"WITH __xyz2 AS ({XYZ_SQL}),\n" + ",\n".join(cover_ctes)
         + f""",
-__cp AS (SELECT id, {s2_parent_sql(f'({cover_s2})', 5)} AS p6 FROM {cover_last}),
-__cr AS (SELECT DISTINCT p6 AS rcell FROM __cp WHERE id % 29 = 0)
-SELECT id, p6 FROM __cp JOIN __cr ON p6 = rcell"""
+__cp AS (SELECT id, {s2_parent_sql(f'({cover_s2})', 5)} AS p5 FROM {cover_last}),
+__cr AS (SELECT DISTINCT p5 AS rcell FROM __cp WHERE id % 29 = 0)
+SELECT id, p5 FROM __cp JOIN __cr ON p5 = rcell"""
     )
 
     from mvt_wrangler_spark.operators.sampling import sample_hash_sql

@@ -432,19 +432,22 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     # (each common token lands in the same bin on both sides), so pairs
     # whose bound fails (num+den)*bound >= num*(n_a+n_b) are provably below
     # threshold. The bound is evaluated JVM-side (zip_with + aggregate,
-    # whole-stage codegen) over ~2*B*2-byte payloads instead of the full
+    # whole-stage codegen) over ~2*B*4-byte payloads instead of the full
     # 8-byte-per-token arrays — measured at sf0.1/t=0.8 this cuts the
     # position-filter survivors 420k -> 256 (the exact true-pair count), and
     # the operator 43 s -> ~12 s warm, because the wide-array re-attach and
     # the Python verify now see only true-ish pairs. Completeness is exact,
-    # not probabilistic; the brute-force oracle re-checks it every run.
+    # not probabilistic (int32 bins never saturate below 2^31 distinct
+    # shingles per doc — an int16 clip here would UNDERestimate the bound
+    # for multi-MB documents and silently drop qualifying pairs); the
+    # brute-force oracle re-checks it every run.
     HB = 128
 
-    @pandas_udf("array<smallint>")
+    @pandas_udf("array<int>")
     def _hist(toks: pd.Series) -> pd.Series:
         return pd.Series([
             np.bincount(np.asarray(t, dtype=np.int64) % HB, minlength=HB)
-            .clip(0, 32767).astype(np.int16) for t in toks
+            .astype(np.int32) for t in toks
         ])
 
     hists = ordered.select("id", _hist("otoks").alias("hist"))
