@@ -313,6 +313,9 @@ def q_expr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     prog = ["all",
             ["in", ["tag", "brand"], ["literal", ["Brand#13", "Brand#11", "Brand#25"]]],
             ["regex-match", ["tag", "type"], "ECONOMY|PROMO"],
+            # not-in: FILTERING.md:25-26 doc-parity op (operators/expr.py)
+            ["not-in", ["string", ["tag", "size"]],
+             ["literal", ["15", "25", "35", "45"]]],
             ["not", ["starts-with", ["tag", "size"], "1"]],
             [">", ["tag", "size"], "2"]]
     ctx = E.ColumnContext(tags=F.col("tags"))
@@ -1429,6 +1432,7 @@ SELECT id, kept AS kept_keys FROM __pts, __kept"""
 SELECT p_partkey FROM part
 WHERE p_brand IN ('Brand#13', 'Brand#11', 'Brand#25')
   AND regexp_matches(p_type, 'ECONOMY|PROMO')
+  AND CAST(p_size AS VARCHAR) NOT IN ('15', '25', '35', '45')
   AND NOT starts_with(CAST(p_size AS VARCHAR), '1')
   AND CAST(p_size AS VARCHAR) > '2'
 """

@@ -52,9 +52,15 @@ NULL, STRING, NUMBER, FLOAT, BOOL, ARRAY = 0, 1, 2, 3, 4, 5
 _KNOWN_OPS = {
     "==", "!=", "<", ">", "<=", ">=",
     "any", "all", "none", "not", "!",
-    "in", "starts-with", "ends-with", "regex-match", "regex-capture",
-    "boolean", "literal", "tag", "key", "type",
+    "in", "not-in", "starts-with", "ends-with", "regex-match",
+    "regex-capture", "boolean", "string", "literal", "tag", "key", "type",
 }
+# DOC-PARITY ops: /root/reference/FILTERING.md:25-26 documents `not-in`
+# (membership) and `string` (casting), but the reference IMPLEMENTATION
+# rejects both (src/filtering/data.rs:112-137 from_str -> "Unknown
+# operator"). A user following the doc writes them, so this compiler
+# accepts them: `not-in` is the exact-typed negation of `in`, and `string`
+# casts via the same Display used by the string ops (Null -> "null").
 
 
 class ExpressionCompileError(ValueError):
@@ -419,18 +425,19 @@ def _compile_op(op: str, args: list, ctx: ColumnContext) -> Val:
         _ensure_args(op, args, 1)
         return CVal.from_bool_col(~_bool_val(compile_value(args[0], ctx)))
 
-    if op == "in":
+    if op in ("in", "not-in"):
         _ensure_args(op, args, 2)
         v = compile_value(args[0], ctx)
         members = compile_value(args[1], ctx)
         if not (isinstance(members, Lit) and members.kind == ARRAY):
             raise ExpressionCompileError("In operator requires an array of values")
         if isinstance(v, Lit):
-            return CVal.from_bool_col(F.lit(v in set(members.arr)))
-        out = F.lit(False)
-        for m in set(members.arr):
-            out = out | _in_member_test(v, m)
-        return CVal.from_bool_col(out)
+            hit = F.lit(v in set(members.arr))
+        else:
+            hit = F.lit(False)
+            for m in set(members.arr):
+                hit = hit | _in_member_test(v, m)
+        return CVal.from_bool_col(~hit if op == "not-in" else hit)
 
     if op in ("starts-with", "ends-with"):
         _ensure_args(op, args, 2)
@@ -478,6 +485,13 @@ def _compile_op(op: str, args: list, ctx: ColumnContext) -> Val:
         if isinstance(v, Lit):
             return Lit(BOOL, b=v.truthy())
         return CVal.from_bool_col(v.truthy())
+
+    if op == "string":
+        _ensure_args(op, args, 1)
+        v = compile_value(args[0], ctx)
+        if isinstance(v, Lit):
+            return Lit(STRING, s=v.display())
+        return CVal.from_string_col(_as_cval(v).display())
 
     if op == "literal":
         _ensure_args(op, args, 1)
@@ -551,10 +565,10 @@ def validate_expr(expr: Any) -> None:
     elif op in ("any", "all", "none"):
         for a in args:
             validate_expr(a)
-    elif op in ("not", "!", "boolean"):
+    elif op in ("not", "!", "boolean", "string"):
         _ensure_args(op, args, 1)
         validate_expr(args[0])
-    elif op == "in":
+    elif op in ("in", "not-in"):
         _ensure_args(op, args, 2)
         validate_expr(args[0])
         inner = args[1]

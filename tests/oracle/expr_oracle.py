@@ -129,13 +129,14 @@ def evaluate(expr: Any, ctx: Context) -> Value:
     if op in ("not", "!"):
         assert len(args) == 1
         return ("bool", not to_bool(evaluate(args[0], ctx)))
-    if op == "in":
+    if op in ("in", "not-in"):
         assert len(args) == 2
         v = evaluate(args[0], ctx)
         members = evaluate(args[1], ctx)
         if members[0] != "array":
             raise ValueError("In operator requires an array of values")
-        return ("bool", v in set(members[1]))  # exact-typed equality
+        hit = v in set(members[1])  # exact-typed equality
+        return ("bool", not hit if op == "not-in" else hit)
     if op in ("starts-with", "ends-with"):
         assert len(args) == 2 and isinstance(args[1], str)
         s = display(evaluate(args[0], ctx))
@@ -156,6 +157,9 @@ def evaluate(expr: Any, ctx: Context) -> Value:
     if op == "boolean":
         assert len(args) == 1
         return ("bool", to_bool(evaluate(args[0], ctx)))
+    if op == "string":
+        assert len(args) == 1
+        return ("string", display(evaluate(args[0], ctx)))
     if op == "literal":
         assert len(args) == 1
         return from_json(args[0])

@@ -76,6 +76,14 @@ REFERENCE_CASES = [
     (["none", ["==", ["tag", "kind"], "school"]], True),
     (["regex-capture", ["key"], "^nomatch(x)$", 1], False),  # Null falsy
     (["in", ["regex-capture", ["key"], "^nomatch(x)$", 1], ["literal", [None]]], True),
+    # doc-parity ops (FILTERING.md:25-26; the reference impl rejects them)
+    (["not-in", ["tag", "kind"], ["literal", ["school", "hospital"]]], True),
+    (["not-in", ["tag", "kind"], ["literal", ["park"]]], False),
+    (["not-in", ["tag", "capacity"], ["literal", ["1000"]]], True),  # exact-typed
+    (["==", ["string", ["tag", "capacity"]], "1000"], True),
+    (["==", ["string", ["tag", "missing"]], "null"], True),   # Null -> "null"
+    (["==", ["string", ["literal", 2.0]], "2.0"], True),      # json keeps .0
+    (["==", ["string", ["boolean", ["tag", "public"]]], "true"], True),
 ]
 
 KEY_VARIANTS = [  # (current_key, expected) for the keep-list expression
@@ -199,15 +207,18 @@ def test_property_spark_matches_oracle(spark):
         return None
 
     def rand_expr(depth=0):
-        ops = ["==", "!=", "<", ">", "<=", ">=", "in", "starts-with", "ends-with",
-               "boolean", "any", "all", "none", "not", "regex-capture", "regex-match"]
+        ops = ["==", "!=", "<", ">", "<=", ">=", "in", "not-in", "starts-with",
+               "ends-with", "boolean", "string", "any", "all", "none", "not",
+               "regex-capture", "regex-match"]
         if depth >= 3:
             return rng.choice([["tag", rng.choice(keys)], ["key"], ["type"], rand_scalar()])
         op = rng.choice(ops)
         sub = lambda: rand_expr(depth + 1)  # noqa: E731
         if op in ("==", "!=", "<", ">", "<=", ">="):
             return [op, sub(), sub()]
-        if op == "in":
+        if op == "string":
+            return ["==", [op, sub()], rand_scalar()]
+        if op in ("in", "not-in"):
             return [op, sub(), ["literal", [rand_scalar() for _ in range(rng.randint(0, 4))]]]
         if op in ("starts-with", "ends-with"):
             return [op, sub(), rng.choice(["p", "n", "1", "", "nu"])]
