@@ -361,10 +361,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     different df-orders between them.
     """
     num, den = _jaccard_fraction(threshold)
+    # pin the shingle pass: `tok` feeds BOTH the df aggregation subtree and
+    # the join side of `ordered`, and with freq broadcast there is no common
+    # exchange for Spark to reuse — unpinned, the Arrow shingle pass runs
+    # twice per execution (measured ~2 s warm / ~8 s cold of pure recompute
+    # at sf0.1; the checkpoint is ~8 MB of int64 arrays per 5k docs)
     docs = df.select(
         F.col(id_col).alias("id"),
         shingle_set_column(F.col(text_col), shingle).alias("toks"),
-    ).withColumn("n", F.size("toks").cast("long"))
+    ).withColumn("n", F.size("toks").cast("long")).localCheckpoint(eager=True)
 
     tok = docs.select("id", "n", F.explode("toks").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tdf"))
