@@ -245,6 +245,35 @@ def test_partitioned_intersects_join_matches_broadcast(spark):
 
 
 @pytest.mark.spark
+def test_partitioned_joins_high_salt_cogroup_colocation(spark):
+    """Regression: round 6 found cogroup partitions each side by ITS OWN
+    grouping-key types — an int replica salt vs the long pmod(xxhash64)
+    candidate salt silently split keys across partitions and dropped whole
+    candidate slices. At 8 shuffle partitions / 4 salts the keys co-located
+    by luck, which is exactly how it slipped the oracle gate. This test
+    uses 64 salts so a type mismatch cannot hide: ANY split key loses rows
+    vs the broadcast twin."""
+    from mvt_wrangler_spark.sources.points import PIP_POLYGONS, synth_geoms
+
+    feats = synth_geoms(spark, "/root/testdata/sf0.001")
+    polys = [(pid, G.Polygon(np.array(v))) for pid, v in PIP_POLYGONS]
+    got = {(r.id, r.geom_type, r.poly_id) for r in J.partitioned_intersects_join(
+        feats, _rings_df(spark, polys), z=5, n_salt=64).collect()}
+    want = {(r.id, r.geom_type, r.admin_id) for r in
+            J.broadcast_intersects_join(spark, feats, polys).collect()}
+    assert got == want and len(want) > 20
+
+    pts = feats.filter(F.col("geom_type") == "Point").select(
+        "id", F.element_at("xs", 1).alias("lon"),
+        F.element_at("ys", 1).alias("lat"))
+    gotp = {(r.id, r.poly_id) for r in J.partitioned_pip_join(
+        pts, _rings_df(spark, polys), z=6, n_salt=64).collect()}
+    wantp = {(r.id, r.admin_id) for r in
+             J.broadcast_pip_join(spark, pts, polys).collect()}
+    assert gotp == wantp and len(wantp) > 5
+
+
+@pytest.mark.spark
 def test_partitioned_intersects_join_duplicate_ids(spark):
     """Duplicate feature ids (same geometry) preserve output multiplicity,
     matching the broadcast path's one-row-per-input-row behavior."""
