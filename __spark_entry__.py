@@ -1180,6 +1180,20 @@ def q_spatial_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_cluster(pts, eps=16)
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment over documents: the
+    row's split is a pure function of (doc_id, salt) — one codegen CASE
+    next to the scan, zero shuffle, stable under data growth / retries /
+    cluster size (rand()-based splits break all three). Group-level
+    contamination guards fall out by hashing the group id instead."""
+    from mvt_wrangler_spark.operators import sampling as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = S.assign_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                       id_col="doc_id", salt=7)
+    return d.select("doc_id", "split")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full spatial pipeline at sf0.001 -> per-tile stats."""
     return q_pipeline_e2e(spark, "/root/testdata/sf0.001")
@@ -1245,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_lines": q_clip_lines,
         "tile_shards": q_tile_shards,
         "spatial_cluster": q_spatial_cluster,
+        "dataset_split": q_dataset_split,
     }
 
 
@@ -1858,6 +1873,15 @@ SELECT CAST(l_orderkey*8 + l_linenumber AS BIGINT) AS id,
 FROM lineitem"""
     spatial_cluster_sql = grid_cluster_sql(spatial_cluster_pts, eps=16)
 
+    from mvt_wrangler_spark.operators.sampling import assign_split_sql
+
+    dataset_split = f"""
+SELECT doc_id,
+       {assign_split_sql({'train': 0.8, 'val': 0.1, 'test': 0.1},
+                         'doc_id', salt=7)} AS split
+FROM documents
+"""
+
     from mvt_wrangler_spark.operators.simplify import simplify_sql
 
     simplify = f"""
@@ -1920,6 +1944,7 @@ FROM {gh_last}"""
         "clip_lines": clip_lines,
         "tile_shards": tile_shards,
         "spatial_cluster": spatial_cluster_sql,
+        "dataset_split": dataset_split,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

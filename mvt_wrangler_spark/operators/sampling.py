@@ -109,3 +109,62 @@ def assign_shards(df: DataFrame, keys: list[str], size_col: str,
     return (df.withColumn("__shard_off", off)
             .withColumn(out_col, F.expr(f"__shard_off DIV {shard_bytes}"))
             .drop("__shard_off"))
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive upper hash bound) per split, in dict order.
+
+    Bounds are exact integers on the hash range [0, p): cumulative
+    fraction * (p-1), floored — so Spark and the DuckDB twin compare
+    against the SAME integers and the assignment is reproducible from the
+    fraction spec alone. The last split absorbs rounding (bound = p)."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out, acc = [], 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        out.append((name, int(acc * (_MOD - 1))))
+    out.append((names[-1], _MOD))
+    return out
+
+
+def assign_split(df: DataFrame, fractions: dict[str, float],
+                 id_col: str = "id", salt: int = 0,
+                 out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test split assignment.
+
+    Each row's split is a pure function of (id, salt): the sample hash
+    lands in [0, p) and contiguous ranges proportional to `fractions` name
+    the split. The properties a 100 TB curation pipeline needs:
+
+      * stable under growth — ingesting more rows later never moves an
+        existing row between splits (no global count, no rand() state);
+      * stable under retries / cluster size — no partition sensitivity;
+      * zero shuffle — one codegen CASE next to the scan;
+      * leak-free vs sampling — use a DIFFERENT salt than any upstream
+        hash_sample, or the subsample correlates with the split boundary
+        (same hash family ⇒ same ordering of ids).
+
+    Group-level splitting (all rows of one document/site/cluster on the
+    same side — the usual contamination guard) falls out by passing the
+    GROUP id as id_col."""
+    h = sample_hash(F.col(id_col), salt)
+    bounds = split_thresholds(fractions)
+    expr = F.lit(bounds[-1][0])
+    for name, ub in reversed(bounds[:-1]):
+        expr = F.when(h < F.lit(ub), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def assign_split_sql(fractions: dict[str, float], id_col: str = "id",
+                     salt: int = 0) -> str:
+    """DuckDB twin of assign_split's CASE (same integer bounds)."""
+    h = sample_hash_sql(id_col, salt)
+    bounds = split_thresholds(fractions)
+    whens = "".join(f" WHEN {h} < {ub} THEN '{name}'"
+                    for name, ub in bounds[:-1])
+    return f"CASE{whens} ELSE '{bounds[-1][0]}' END"

@@ -111,3 +111,49 @@ def test_assign_shards_packing_invariants(spark):
     b = sorted((r.id, r.shard) for r in
                S.assign_shards(df.repartition(13), ["g"], "sz", 1000).collect())
     assert a == b
+
+
+@pytest.mark.spark
+def test_assign_split_proportions_and_stability(spark):
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.range(20_000)
+    out = {r.id: r.split for r in S.assign_split(df, fr, "id").collect()}
+    n = len(out)
+    counts = {}
+    for s in out.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert abs(counts["train"] / n - 0.8) < 0.02
+    assert abs(counts["val"] / n - 0.1) < 0.01
+    assert abs(counts["test"] / n - 0.1) < 0.01
+    # growth stability: ingesting more rows never moves an existing row
+    grown = {r.id: r.split for r in
+             S.assign_split(spark.range(40_000), fr, "id").collect()}
+    assert all(grown[i] == s for i, s in out.items())
+    # partition independence
+    rep = {r.id: r.split for r in
+           S.assign_split(df.repartition(17), fr, "id").collect()}
+    assert rep == out
+
+
+@pytest.mark.spark
+def test_assign_split_matches_duckdb_twin(spark):
+    import duckdb
+
+    fr = {"train": 0.5, "val": 0.25, "test": 0.25}
+    ids = [0, 1, 7, 2**31, 2**62, -(2**61), 8_400_000_000, 999_999_937]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r.id: r.split for r in S.assign_split(df, fr, "id", salt=3).collect()}
+    sql = S.assign_split_sql(fr, "id", salt=3)
+    con = duckdb.connect()
+    for i in ids:
+        want = con.execute(f"SELECT {sql} FROM (SELECT CAST({i} AS BIGINT) AS id)").fetchone()[0]
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_split_thresholds_validation():
+    with pytest.raises(ValueError):
+        S.split_thresholds({})
+    with pytest.raises(ValueError):
+        S.split_thresholds({"a": 0.5, "b": 0.4})
+    bounds = S.split_thresholds({"a": 0.5, "b": 0.5})
+    assert bounds[0][0] == "a" and bounds[-1] == ("b", 2147483647)
