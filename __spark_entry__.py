@@ -1117,6 +1117,73 @@ def q_overzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id long, child int, sum_r long, sum_g long, sum_b long, fp long")
 
 
+def q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster pyramid BUILD value-checked end to end (inverse of
+    q_overzoom): 4 algebraic 16x16 children per parent (fmt cycles
+    raw/rawz/qlossy by (id+child)%3) are encoded to real bytes, the
+    engine decodes, 2x integer box-mean downsamples each child, mosaics
+    the quadrants into the parent, re-encodes — and the check decodes
+    the PARENT bytes into per-channel pixel sums plus a
+    position-weighted fingerprint. The oracle regenerates parent pixels
+    from the child formula (parent (py,px) = floor-mean of the 2x2 child
+    block at quadrant (py//8, px//8)) with the qlossy quant model, so
+    decode, downsample, quadrant placement, and both codec round-trips
+    all sit under the value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from mvt_wrangler_spark.operators import multimodal as M
+    from mvt_wrangler_spark.sources import images as I
+
+    W = H = 16
+    ids = (_points(spark, sf_dir).select("id")
+           .filter(F.pmod("id", F.lit(41)) == 5).distinct())
+
+    def gen(pdfs):
+        fmts = ["raw", "rawz", "qlossy"]
+        for pdf in pdfs:
+            rows = {"parent_id": [], "child": [], "bytes": [], "fmt": [],
+                    "w": [], "h": []}
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                for q in range(4):
+                    yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
+                    px = ((int(i) * 31 + q * 11 + yy * 7 + xx * 13 + cc * 5)
+                          % 256).astype(np.uint8)
+                    rows["parent_id"].append(str(int(i)))
+                    rows["child"].append(q)
+                    rows["bytes"].append(I.encode(px, fmts[(int(i) + q) % 3]))
+                    rows["fmt"].append(fmts[(int(i) + q) % 3])
+                    rows["w"].append(W)
+                    rows["h"].append(H)
+            yield pd.DataFrame(rows)
+
+    kids = ids.mapInPandas(
+        gen, "parent_id string, child int, bytes binary, fmt string, "
+             "w int, h int")
+    parents = M.mosaic(kids, out_fmt="rawz")
+
+    def stats(pdfs):
+        for pdf in pdfs:
+            rows = {"id": [], "n_children": [], "sum_r": [], "sum_g": [],
+                    "sum_b": [], "fp": []}
+            for row in pdf.itertuples(index=False):
+                t = I.decode(bytes(row.pbytes), row.pfmt,
+                             row.pw, row.ph).astype(np.int64)
+                zy, zx, cc = np.mgrid[0:row.ph, 0:row.pw, 0:3]
+                fp = int((t * (zy * 29 + zx * 13 + cc * 7 + 1)).sum()
+                         % 2147483647)
+                rows["id"].append(int(row.parent_id))
+                rows["n_children"].append(int(row.n_children))
+                for col, c in (("sum_r", 0), ("sum_g", 1), ("sum_b", 2)):
+                    rows[col].append(int(t[:, :, c].sum()))
+                rows["fp"].append(fp)
+            yield pd.DataFrame(rows)
+
+    return parents.mapInPandas(
+        stats, "id long, n_children int, sum_r long, sum_g long, "
+               "sum_b long, fp long")
+
+
 def q_clip_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Liang–Barsky line clip to the tile box — pure codegen end to end
     (each segment clips independently: per-row t-parameter math, no
@@ -1256,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_tile": q_clip_tile,
         "simplify": q_simplify,
         "overzoom": q_overzoom,
+        "mosaic": q_mosaic,
         "clip_lines": q_clip_lines,
         "tile_shards": q_tile_shards,
         "spatial_cluster": q_spatial_cluster,
@@ -1846,6 +1914,35 @@ SELECT id, CAST(qy*2 + qx AS INT) AS child,
 FROM __cpx GROUP BY 1, 2
 """
 
+    # mosaic: parent pixel (py,px,c) = floor-mean of the 2x2 block of child
+    # q = (py//8)*2 + (px//8) at child coords ((py%8)*2+dy, (px%8)*2+dx),
+    # child pixel v = (id*31 + q*11 + cy*7 + cx*13 + c*5) % 256 with the
+    # qlossy quant model (v//4*4+2) when (id+q)%3 = 2 — mirrors q_mosaic's
+    # generator and mosaic()'s integer box-mean exactly.
+    mosaic_sql = f"""
+WITH {pts},
+__moids AS (SELECT DISTINCT id FROM __pts WHERE id % 41 = 5),
+__ppx AS (
+  SELECT id, py.y AS py, px.x AS px, c.c AS c,
+         sum(CASE WHEN (id + ((py.y//8)*2 + (px.x//8))) % 3 = 2
+              THEN ((id*31 + ((py.y//8)*2 + (px.x//8))*11
+                     + ((py.y%8)*2 + dy.d)*7 + ((px.x%8)*2 + dx.d)*13
+                     + c.c*5) % 256) // 4 * 4 + 2
+              ELSE (id*31 + ((py.y//8)*2 + (px.x//8))*11
+                    + ((py.y%8)*2 + dy.d)*7 + ((px.x%8)*2 + dx.d)*13
+                    + c.c*5) % 256 END) // 4 AS v
+  FROM __moids, generate_series(0, 15) py(y), generate_series(0, 15) px(x),
+       generate_series(0, 2) c(c), generate_series(0, 1) dy(d),
+       generate_series(0, 1) dx(d)
+  GROUP BY 1, 2, 3, 4)
+SELECT id, CAST(4 AS INT) AS n_children,
+       CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+       CAST(sum(v * (py*29 + px*13 + c*7 + 1)) % 2147483647 AS BIGINT) AS fp
+FROM __ppx GROUP BY 1
+"""
+
     from mvt_wrangler_spark.operators.clip import clip_segments_sql
 
     clip_lines = f"""
@@ -1941,6 +2038,7 @@ FROM {gh_last}"""
         "clip_tile": clip_tile,
         "simplify": simplify,
         "overzoom": overzoom_sql,
+        "mosaic": mosaic_sql,
         "clip_lines": clip_lines,
         "tile_shards": tile_shards,
         "spatial_cluster": spatial_cluster_sql,

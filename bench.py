@@ -189,6 +189,8 @@ def main() -> None:
         "geom_measures", "geocode", "cell_cover_join", "tile_sample",
         "embed_centroids", "clip_tile", "simplify", "overzoom", "clip_lines",
         "tile_shards", "spatial_cluster",
+        # round-6 additions
+        "dataset_split", "mosaic",
     ]
     # two readings per query: cold (first run — the round-over-round
     # comparable series, includes codegen/JIT compile) and warm (second run —

@@ -221,3 +221,72 @@ def overzoom(images_df: DataFrame, out_fmt: str = "rawz") -> DataFrame:
 
     cols = ["image_id", "bytes", "fmt", "w", "h"]
     return images_df.select(*cols).mapInPandas(_oz, OVERZOOM_SCHEMA)
+
+
+MOSAIC_SCHEMA = ("parent_id string, pbytes binary, pw int, ph int, "
+                 "pfmt string, n_children int")
+
+
+def mosaic(children_df: DataFrame, out_fmt: str = "rawz") -> DataFrame:
+    """Tile mosaic: build the z parent image from its 4 z+1 children — the
+    pyramid-BUILD inverse of `overzoom` (raster analog of the vector
+    pyramid_rollup; the reference builds pyramids tile-by-tile,
+    src/main.rs tile iteration — here it is one grouped shuffle).
+
+    Input columns: parent_id (z-level tile key), child (quadrant index
+    qy*2 + qx), bytes, fmt, w, h. Each child is box-mean downsampled 2x
+    with exact integer math (parent pixel = sum of the 2x2 child block
+    // 4) and placed in its quadrant, so the whole chain is
+    SQL-restatable for the contract oracle (q_mosaic). The parent keeps
+    the children's pixel size. Conventions: odd child dims crop to the
+    even grid (thumbnail's rule); a missing child leaves its quadrant
+    zero (sparse-pyramid convention) with n_children recording how many
+    contributed; children whose dims differ from the group's first
+    (ordered by (child, bytes)) are skipped; a duplicate quadrant keeps
+    the (child, bytes)-smallest row.
+
+    Scale shape: groupBy(parent_id).applyInPandas — ONE shuffle on the
+    parent key and at most 4 small rows per group, so memory per task is
+    bounded by tile size regardless of corpus size, and the build of a
+    whole pyramid level is embarrassingly parallel across parents.
+    """
+    from ..sources import images as I
+
+    def _mo(pdf: pd.DataFrame) -> pd.DataFrame:
+        # group rows arrive in shuffle order — sort by (child, bytes) so the
+        # duplicate-quadrant keep rule is deterministic across runs
+        pdf = pdf[pdf["bytes"].notna()].sort_values(["child", "bytes"])
+        parent = None
+        ph = pw = 0
+        n = 0
+        seen: set[int] = set()
+        for row in pdf.itertuples(index=False):
+            h2, w2 = row.h // 2, row.w // 2
+            if h2 == 0 or w2 == 0:
+                continue
+            if parent is None:
+                ph, pw = h2 * 2, w2 * 2
+                parent = np.zeros((ph, pw, 3), dtype=np.uint8)
+            if ((h2 * 2, w2 * 2) != (ph, pw) or not 0 <= row.child <= 3
+                    or row.child in seen):
+                continue
+            seen.add(row.child)
+            qy, qx = row.child // 2, row.child % 2
+            px = I.decode(bytes(row.bytes), row.fmt, row.w, row.h)
+            down = (px[:h2 * 2, :w2 * 2, :].astype(np.int64)
+                    .reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4)
+            parent[qy * h2:(qy + 1) * h2, qx * w2:(qx + 1) * w2, :] = \
+                down.astype(np.uint8)
+            n += 1
+        if parent is None:
+            return pd.DataFrame({k: [] for k in (
+                "parent_id", "pbytes", "pw", "ph", "pfmt", "n_children")})
+        return pd.DataFrame({
+            "parent_id": [pdf["parent_id"].iloc[0]],
+            "pbytes": [I.encode(parent, out_fmt)],
+            "pw": [pw], "ph": [ph], "pfmt": [out_fmt],
+            "n_children": [n]})
+
+    cols = ["parent_id", "child", "bytes", "fmt", "w", "h"]
+    return (children_df.select(*cols)
+            .groupBy("parent_id").applyInPandas(_mo, MOSAIC_SCHEMA))

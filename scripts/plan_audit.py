@@ -54,6 +54,8 @@ AUDIT = [
     ("clip_lines", "Liang-Barsky line clip: codegen only; lead() window forms segments"),
     ("tile_shards", "shard packing: one key shuffle + window cumsum, integer DIV"),
     ("spatial_cluster", "sub-eps cell collapse + half-stencil hash join, bbox-gap prune, cell-graph closure; no distance cross-join"),
+    ("dataset_split", "hash split assignment: zero-shuffle codegen projection"),
+    ("mosaic", "pyramid build: one parent-key shuffle + bounded applyInPandas group"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage

@@ -152,3 +152,96 @@ def test_ahash64_properties(spark):
                if i % 3 != 2 and (i - 1) % 3 != 2]
     assert planted and all(pairs.get(p) == 0 for p in planted), (
         [p for p in planted if pairs.get(p) != 0])
+
+
+def _mosaic_expected(children):
+    """children: {q: (pixels, fmt)} -> expected parent array (numpy ref)."""
+    h, w = next(iter(children.values()))[0].shape[:2]
+    h2, w2 = h // 2, w // 2
+    parent = np.zeros((h2 * 2, w2 * 2, 3), dtype=np.uint8)
+    for q, (px, fmt) in children.items():
+        stored = I.decode(I.encode(px, fmt), fmt, w, h).astype(np.int64)
+        down = (stored[: h2 * 2, : w2 * 2, :]
+                .reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4)
+        qy, qx = q // 2, q % 2
+        parent[qy * h2:(qy + 1) * h2, qx * w2:(qx + 1) * w2, :] = \
+            down.astype(np.uint8)
+    return parent
+
+
+@pytest.mark.spark
+def test_mosaic_exact_full_parent(spark):
+    from mvt_wrangler_spark.operators.multimodal import mosaic
+
+    fmts = ["raw", "rawz", "qlossy", "rawz"]
+    kids = {q: (I.pixels_for(900 + q, 16, 16), fmts[q]) for q in range(4)}
+    rows = [("p1", q, bytearray(I.encode(px, fmt)), fmt, 16, 16)
+            for q, (px, fmt) in kids.items()]
+    df = spark.createDataFrame(
+        rows, "parent_id string, child int, bytes binary, fmt string, "
+              "w int, h int").repartition(4)
+    out = mosaic(df, out_fmt="rawz").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.parent_id, r.pw, r.ph, r.pfmt, r.n_children) == \
+        ("p1", 16, 16, "rawz", 4)
+    got = I.decode(bytes(r.pbytes), "rawz", 16, 16)
+    assert np.array_equal(got, _mosaic_expected(kids))
+
+
+@pytest.mark.spark
+def test_mosaic_missing_duplicate_and_mismatched_children(spark):
+    from mvt_wrangler_spark.operators.multimodal import mosaic
+
+    px0a = I.pixels_for(1, 16, 16)
+    px0b = I.pixels_for(2, 16, 16)
+    px3 = I.pixels_for(3, 16, 16)
+    px_bad = I.pixels_for(4, 8, 8)          # dims differ from the group's
+    rows = [
+        ("p", 0, bytearray(I.encode(px0a, "raw")), "raw", 16, 16),
+        ("p", 0, bytearray(I.encode(px0b, "raw")), "raw", 16, 16),  # dup
+        ("p", 3, bytearray(I.encode(px3, "rawz")), "rawz", 16, 16),
+        ("p", 1, bytearray(I.encode(px_bad, "raw")), "raw", 8, 8),  # skip
+        ("p", 2, None, "raw", 16, 16),                              # null
+        ("q", 9, bytearray(I.encode(px3, "raw")), "raw", 16, 16),   # bad idx
+    ]
+    df = spark.createDataFrame(
+        rows, "parent_id string, child int, bytes binary, fmt string, "
+              "w int, h int").repartition(5)
+    out = {r.parent_id: r for r in mosaic(df, out_fmt="raw").collect()}
+    # q: its only row has child outside 0..3 -> quadrants all zero, n=0
+    assert out["q"].n_children == 0
+    assert not any(I.decode(bytes(out["q"].pbytes), "raw", 16, 16).ravel())
+    r = out["p"]
+    assert r.n_children == 2
+    # duplicate quadrant keeps the (child, bytes)-smallest row
+    keep0 = min(I.encode(px0a, "raw"), I.encode(px0b, "raw"))
+    kept_px = px0a if keep0 == I.encode(px0a, "raw") else px0b
+    expect = _mosaic_expected({0: (kept_px, "raw"), 3: (px3, "rawz")})
+    got = I.decode(bytes(r.pbytes), "raw", 16, 16)
+    assert np.array_equal(got, expect)
+    # determinism across a second run
+    out2 = {x.parent_id: x for x in mosaic(df, out_fmt="raw").collect()}
+    assert bytes(out2["p"].pbytes) == bytes(r.pbytes)
+
+
+@pytest.mark.spark
+def test_mosaic_overzoom_inverse(spark):
+    """mosaic(overzoom(img)) == img exactly for lossless formats: overzoom
+    duplicates each pixel 2x2, the box-mean averages 4 equal values back."""
+    from mvt_wrangler_spark.operators.multimodal import mosaic, overzoom
+
+    df = I.synthetic_images(spark, 40, with_pixels=True, partitions=3) \
+         .filter((F.col("w") % 2 == 0) & (F.col("h") % 2 == 0)) \
+         .filter(F.col("fmt") != "qlossy")
+    kids = overzoom(df, out_fmt="rawz").select(
+        F.col("image_id").alias("parent_id"), "child",
+        F.col("cbytes").alias("bytes"), F.col("cfmt").alias("fmt"),
+        F.col("cw").alias("w"), F.col("ch").alias("h"))
+    back = {r.parent_id: r for r in mosaic(kids, out_fmt="rawz").collect()}
+    for s in df.collect():
+        r = back[s.image_id]
+        assert (r.pw, r.ph, r.n_children) == (s.w, s.h, 4)
+        assert np.array_equal(
+            I.decode(bytes(r.pbytes), "rawz", r.pw, r.ph),
+            I.decode(bytes(s.bytes), s.fmt, s.w, s.h))
