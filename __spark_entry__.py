@@ -379,6 +379,25 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document (pure codegen
+    regexp_count; identical regex semantics pinned on both engines)."""
+    from mvt_wrangler_spark.operators import text as T
+
+    return T.token_counts(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training doc, the count of its
+    distinct 8-gram shingles appearing anywhere in the eval split
+    (doc_id % 37 == 3). Broadcast eval shingle set + one groupBy shuffle."""
+    from mvt_wrangler_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = F.pmod("doc_id", F.lit(37)) == 3
+    return T.decontaminate(docs.filter(~ev), docs.filter(ev), shingle=8)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force integer-quantized dot-product top-k (ANN baseline)."""
     from pyspark.sql import Window
@@ -1291,6 +1310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "decontaminate": q_decontaminate,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "minhash_lsh": q_minhash_lsh,
@@ -1576,6 +1597,12 @@ WITH h AS (
 SELECT doc_id, CASE WHEN en >= 3 THEN 'en' WHEN en >= 1 THEN 'en-ish' ELSE 'unk' END AS lang_pred
 FROM h
 """
+
+    from mvt_wrangler_spark.operators.text import (decontaminate_sql,
+                                                   token_counts_sql)
+    token_count_sql_str = token_counts_sql("documents")
+    decontaminate_sql_str = decontaminate_sql(
+        "documents", shingle=8, eval_pred="doc_id % 37 = 3")
 
     ann = """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
@@ -2069,6 +2096,8 @@ FROM {gh_last}"""
         "docs_exact_dedup": docs_dedup,
         "text_stats": text_stats,
         "lang_id": lang_id,
+        "token_count": token_count_sql_str,
+        "decontaminate": decontaminate_sql_str,
         "ann_topk": ann,
         "ann_topk_lsh": ann_lsh,
         "zonal_stats": zonal,

@@ -190,7 +190,7 @@ def main() -> None:
         "embed_centroids", "clip_tile", "simplify", "overzoom", "clip_lines",
         "tile_shards", "spatial_cluster",
         # round-6 additions
-        "dataset_split", "mosaic",
+        "dataset_split", "mosaic", "token_count", "decontaminate",
     ]
     # two readings per query: cold (first run — the round-over-round
     # comparable series, includes codegen/JIT compile) and warm (second run —

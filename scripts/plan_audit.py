@@ -56,6 +56,8 @@ AUDIT = [
     ("spatial_cluster", "sub-eps cell collapse + half-stencil hash join, bbox-gap prune, cell-graph closure; no distance cross-join"),
     ("dataset_split", "hash split assignment: zero-shuffle codegen projection"),
     ("mosaic", "pyramid build: one parent-key shuffle + bounded applyInPandas group"),
+    ("token_count", "ws + BPE-regex token counts: zero-shuffle codegen projection"),
+    ("decontaminate", "eval-shingle broadcast join + one groupBy(id) shuffle"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage
