@@ -398,6 +398,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.decontaminate(docs.filter(~ev), docs.filter(ev), shingle=8)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-line fraction,
+    duplicate-line char fraction, top word bigram + covered fraction."""
+    from mvt_wrangler_spark.operators import text as T
+
+    return T.repetition_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII count + redaction (emails / IPv4 / phones); the redacted text is
+    an output column so every replacement sits under the value hash."""
+    from mvt_wrangler_spark.operators import text as T
+
+    return T.pii_scrub(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force integer-quantized dot-product top-k (ANN baseline)."""
     from pyspark.sql import Window
@@ -1312,6 +1328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "minhash_lsh": q_minhash_lsh,
@@ -1599,10 +1617,14 @@ FROM h
 """
 
     from mvt_wrangler_spark.operators.text import (decontaminate_sql,
+                                                   pii_scrub_sql,
+                                                   repetition_stats_sql,
                                                    token_counts_sql)
     token_count_sql_str = token_counts_sql("documents")
     decontaminate_sql_str = decontaminate_sql(
         "documents", shingle=8, eval_pred="doc_id % 37 = 3")
+    repetition_stats_sql_str = repetition_stats_sql("documents")
+    pii_scrub_sql_str = pii_scrub_sql("documents")
 
     ann = """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
@@ -2098,6 +2120,8 @@ FROM {gh_last}"""
         "lang_id": lang_id,
         "token_count": token_count_sql_str,
         "decontaminate": decontaminate_sql_str,
+        "repetition_stats": repetition_stats_sql_str,
+        "pii_scrub": pii_scrub_sql_str,
         "ann_topk": ann,
         "ann_topk_lsh": ann_lsh,
         "zonal_stats": zonal,

@@ -171,3 +171,161 @@ SELECT id AS {id_col}, CAST(n_hits AS BIGINT) AS n_hits,
        n_hits > 0 AS contaminated
 FROM __h
 """
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    per document, the duplicate-line fraction, the fraction of characters
+    inside duplicate lines, and the most frequent word bigram with the
+    fraction of text it covers. Low-quality scraped pages (boilerplate,
+    SEO spam, templated listings) score high on all three.
+
+    Scale shape: two explode -> groupBy chains (lines, bigrams), each a
+    linear per-key partial agg — no per-doc O(L^2) higher-order-function
+    scan, no window over the corpus (the per-doc argmax is a max(struct)
+    hash agg with map-side combine, not a sort window). text length is
+    recovered exactly as sum(line lens) + (n_lines - 1), so no third join
+    back to the corpus. Tie-break for the top bigram is (count, bigram)
+    descending — pinned identically in the DuckDB twin.
+    """
+    t = F.col(text_col)
+
+    ln = df.select(id_col, F.explode(F.split(t, "\n", -1)).alias("__ln"))
+    per_line = ln.groupBy(id_col, "__ln").agg(F.count("*").alias("__c"))
+    lstats = per_line.groupBy(id_col).agg(
+        F.sum("__c").alias("n_lines"),
+        F.count("*").alias("__nd"),
+        F.sum((F.col("__c") - 1) * F.length("__ln")).alias("__dup_chars"),
+        F.sum(F.col("__c") * F.length("__ln")).alias("__tot_chars"),
+    )
+
+    # bigrams via zip_with over two slices — NOT transform(sequence, i ->
+    # get(toks, i)): element access inside a lambda re-inlines the whole
+    # split() expression per element (no CSE through lambda bodies), which
+    # is O(tokens^2) work per row (measured 9x slower at sf0.1). The two
+    # slices evaluate split O(1) times per row.
+    toks = _tokens(t)
+    n = F.size(toks)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice(toks, 1, pair_len), F.slice(toks, 2, pair_len),
+                         lambda x, y: F.concat(x, F.lit(" "), y))
+    bg = df.select(id_col, F.explode(bigrams).alias("__bg"))
+    per_bg = bg.groupBy(id_col, "__bg").agg(F.count("*").alias("__c"))
+    # struct max orders by (count, bigram) — exactly the DESC,DESC tie-break
+    top = (per_bg.groupBy(id_col)
+           .agg(F.max(F.struct(F.col("__c"), F.col("__bg"))).alias("__m"))
+           .select(id_col, F.col("__m.__bg").alias("top_bigram"),
+                   F.col("__m.__c").alias("__topc")))
+
+    text_len = F.col("__tot_chars") + F.col("n_lines") - 1
+    return (lstats.join(top, id_col, "left")
+            .select(
+                id_col,
+                F.col("n_lines").cast("long").alias("n_lines"),
+                F.round((F.col("n_lines") - F.col("__nd")).cast("double")
+                        / F.col("n_lines"), 6).alias("dup_line_frac"),
+                F.when(F.col("__tot_chars") > 0,
+                       F.round(F.col("__dup_chars").cast("double")
+                               / F.col("__tot_chars"), 6))
+                 .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+                F.col("top_bigram"),
+                F.when(F.col("top_bigram").isNotNull() & (text_len > 0),
+                       F.round(F.col("__topc") * F.length("top_bigram")
+                               * F.lit(1.0) / text_len, 6))
+                 .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+            ))
+
+
+def repetition_stats_sql(table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """DuckDB twin of repetition_stats (same counts, tie-break, rounding)."""
+    return rf"""
+WITH __l AS (
+  SELECT {id_col} AS id, UNNEST(string_split({text_col}, chr(10))) AS ln
+  FROM {table}),
+__lc AS (SELECT id, ln, count(*) AS c FROM __l GROUP BY 1, 2),
+__ls AS (
+  SELECT id, CAST(sum(c) AS BIGINT) AS n_lines, count(*) AS nd,
+         sum((c - 1) * len(ln)) AS dup_chars, sum(c * len(ln)) AS tot_chars
+  FROM __lc GROUP BY 1),
+__tk AS (SELECT {id_col} AS id,
+                string_split_regex(trim({text_col}), '\s+') AS toks
+         FROM {table}),
+__bgc AS (
+  SELECT id, UNNEST(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM __tk WHERE len(toks) >= 2),
+__bgx AS (SELECT id, bg, count(*) AS c FROM __bgc GROUP BY 1, 2),
+__top AS (
+  SELECT id, bg, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY c DESC, bg DESC) AS rn
+    FROM __bgx) WHERE rn = 1)
+SELECT l.id AS {id_col}, n_lines,
+       round((n_lines - nd) * 1.0 / n_lines, 6) AS dup_line_frac,
+       CASE WHEN tot_chars > 0
+            THEN round(dup_chars * 1.0 / tot_chars, 6) ELSE 0.0
+       END AS dup_line_char_frac,
+       t.bg AS top_bigram,
+       CASE WHEN t.bg IS NOT NULL AND tot_chars + n_lines - 1 > 0
+            THEN round(t.c * len(t.bg) * 1.0 / (tot_chars + n_lines - 1), 6)
+            ELSE 0.0
+       END AS top_bigram_frac
+FROM __ls l LEFT JOIN __top t USING (id)
+"""
+
+
+# PII patterns pinned to the common subset of java.util.regex (Spark) and
+# RE2 (DuckDB): no lookaround, \b is the ASCII word boundary in both,
+# alternation is leftmost-first in both. Redaction ORDER is part of the
+# contract (emails first, then IPs, then phones) so digits consumed by an
+# earlier pass can't re-match in a later one on either engine.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9][A-Za-z0-9.-]*\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9]{7,15}|\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\b"
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """PII detection + redaction for training-data curation: count and
+    redact emails, IPv4 addresses, and phone-shaped numbers (E.164 or
+    dashed/spaced US-style). Pure codegen (regexp_count/regexp_replace)
+    single pass, zero shuffle; the redacted text itself is an output
+    column, so the DuckDB twin value-checks every replacement position."""
+    t = F.col(text_col)
+    t1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL_RE))
+    n_ip = F.regexp_count(t1, F.lit(PII_IPV4_RE))
+    n_phone = F.regexp_count(t2, F.lit(PII_PHONE_RE))
+    return df.select(
+        id_col,
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ipv4"),
+        n_phone.alias("n_phones"),
+        ((n_email + n_ip + n_phone) > 0).alias("has_pii"),
+        t3.alias("text_clean"),
+    )
+
+
+def pii_scrub_sql(table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    """DuckDB twin of pii_scrub (RE2 side, same pass order + 'g' flag)."""
+    e, i, p = PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+    return f"""
+WITH __s AS (
+  SELECT {id_col}, {text_col} AS t0,
+         regexp_replace({text_col}, '{e}', '<EMAIL>', 'g') AS t1
+  FROM {table}),
+__s2 AS (SELECT *, regexp_replace(t1, '{i}', '<IP>', 'g') AS t2 FROM __s)
+SELECT {id_col},
+       CAST(len(regexp_extract_all(t0, '{e}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{i}')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t2, '{p}')) AS INT) AS n_phones,
+       len(regexp_extract_all(t0, '{e}')) + len(regexp_extract_all(t1, '{i}'))
+         + len(regexp_extract_all(t2, '{p}')) > 0 AS has_pii,
+       regexp_replace(t2, '{p}', '<PHONE>', 'g') AS text_clean
+FROM __s2
+"""

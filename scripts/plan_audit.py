@@ -58,6 +58,8 @@ AUDIT = [
     ("mosaic", "pyramid build: one parent-key shuffle + bounded applyInPandas group"),
     ("token_count", "ws + BPE-regex token counts: zero-shuffle codegen projection"),
     ("decontaminate", "eval-shingle broadcast join + one groupBy(id) shuffle"),
+    ("repetition_stats", "two explode->groupBy chains + per-doc window; no corpus-wide window"),
+    ("pii_scrub", "regex count/redact: zero-shuffle codegen projection"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage

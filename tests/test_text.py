@@ -72,3 +72,51 @@ def test_decontaminate_shuffle_path_matches_broadcast(spark):
     b = sorted(decontaminate(train, ev, shingle=8, broadcast_eval=False).collect())
     assert a == b
     assert all(r["n_hits"] > 0 for r in a)  # 'abcdefgh' & co shared by all
+
+
+def test_repetition_stats_hand_computed(spark):
+    from mvt_wrangler_spark.operators.text import repetition_stats
+
+    docs = [
+        (1, "a\na\nb"),          # dup line 'a'
+        (2, "hello"),            # 1 line, 1 token -> no bigram
+        (3, ""),                 # empty: 1 empty line, no tokens
+        (4, "x y x y x y"),      # dominant bigram 'x y' (3 of 5)
+    ]
+    got = _rows(repetition_stats(spark.createDataFrame(docs, ["doc_id", "text"])))
+
+    r1 = got[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == round(1 / 3, 6)
+    assert r1["dup_line_char_frac"] == round(1 / 3, 6)  # 1 dup char of 3
+    assert r1["top_bigram"] == "a b"  # 'a a' and 'a b' tie at 1; bg DESC
+    assert r1["top_bigram_frac"] == round(3 / 5, 6)
+
+    assert got[2]["n_lines"] == 1 and got[2]["dup_line_frac"] == 0.0
+    assert got[2]["top_bigram"] is None and got[2]["top_bigram_frac"] == 0.0
+
+    assert got[3]["n_lines"] == 1
+    assert got[3]["dup_line_char_frac"] == 0.0  # zero line chars, no NaN
+
+    r4 = got[4]
+    assert r4["top_bigram"] == "x y"
+    assert r4["top_bigram_frac"] == round(3 * 3 / 11, 6)
+
+
+def test_pii_scrub_hand_computed(spark):
+    from mvt_wrangler_spark.operators.text import pii_scrub
+
+    docs = [
+        (1, "mail bob@example.com or 10.0.0.1, call +12345678 / 555-123-4567"),
+        (2, "no pii here, just 42 and v1.2 of the spec"),
+    ]
+    got = _rows(pii_scrub(spark.createDataFrame(docs, ["doc_id", "text"])))
+
+    r1 = got[1]
+    assert (r1["n_emails"], r1["n_ipv4"], r1["n_phones"]) == (1, 1, 2)
+    assert r1["has_pii"]
+    assert r1["text_clean"] == "mail <EMAIL> or <IP>, call <PHONE> / <PHONE>"
+
+    r2 = got[2]
+    assert (r2["n_emails"], r2["n_ipv4"], r2["n_phones"]) == (0, 0, 0)
+    assert not r2["has_pii"] and r2["text_clean"] == docs[1][1]
