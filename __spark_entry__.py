@@ -725,6 +725,63 @@ def q_thumb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats, "id long, mean_r double, mean_g double, mean_b double, fp long")
 
 
+def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain-RGB hillshade value-checked end to end: algebraic DEM tiles
+    (elev = (id*13 + y*y*3 + x*x*2 + y*x*5) % 2^20, packed R*65536+G*256+B)
+    are encoded to real bytes (raw/rawz/qlossy), the engine decodes, runs
+    Horn's 3x3 integer gradient stencil, packs (shade, |gx|%256, |gy|%256)
+    and re-encodes; the check decodes those SHADE BYTES back into per-tile
+    mean/max shade + a position-weighted fingerprint over every output
+    pixel. The oracle restates elevation unpack (incl. the qlossy
+    per-channel quantization model), both gradients, the shift-4 L1 shade,
+    and the output packing in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from mvt_wrangler_spark.operators import multimodal as M
+    from mvt_wrangler_spark.sources import images as I
+
+    W, H = 24, 16
+    ids = _points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(43)) == 7).distinct()
+
+    def gen(pdfs):
+        fmts = ["raw", "rawz", "qlossy"]
+        for pdf in pdfs:
+            rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                yy, xx = np.mgrid[0:H, 0:W]
+                elev = (int(i) * 13 + yy * yy * 3 + xx * xx * 2 + yy * xx * 5) % (1 << 20)
+                px = np.stack([elev // 65536, (elev // 256) % 256, elev % 256],
+                              axis=-1).astype(np.uint8)
+                fmt = fmts[int(i) % 3]
+                rows["image_id"].append(str(int(i)))
+                rows["bytes"].append(I.encode(px, fmt))
+                rows["fmt"].append(fmt)
+                rows["w"].append(W)
+                rows["h"].append(H)
+            yield pd.DataFrame(rows)
+
+    imgs = ids.mapInPandas(gen, "image_id string, bytes binary, fmt string, w int, h int")
+    shades = M.hillshade(imgs, shift=4, out_fmt="rawz")
+
+    def stats(pdfs):
+        for pdf in pdfs:
+            rows = {"id": [], "mean_shade": [], "max_shade": [], "fp": []}
+            for row in pdf.itertuples(index=False):
+                t = I.decode(bytes(row.shade), row.fmt, row.tw, row.th).astype(np.int64)
+                zy, zx, cc = np.mgrid[0: row.th, 0: row.tw, 0:3]
+                fp = int((t * (zy * 29 + zx * 13 + cc * 7 + 1)).sum() % 2147483647)
+                rows["id"].append(int(row.image_id))
+                rows["mean_shade"].append(
+                    round(float(t[:, :, 0].sum()) / (row.th * row.tw), 6))
+                rows["max_shade"].append(int(t[:, :, 0].max()))
+                rows["fp"].append(fp)
+            yield pd.DataFrame(rows)
+
+    return shades.mapInPandas(
+        stats, "id long, mean_shade double, max_shade long, fp long")
+
+
 def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup by phash hamming banding, value-checked bit-for-bit:
     synthesize 62-bit phashes in pure integer column math (cluster base =
@@ -1343,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "zonal_stats": q_zonal_stats,
         "thumb_stats": q_thumb_stats,
+        "hillshade": q_hillshade,
         "phash_neardup": q_phash_neardup,
         "kmeans_assign": q_kmeans_assign,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1648,6 +1706,43 @@ s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_
                                     ROWS UNBOUNDED PRECEDING) AS session_n FROM g)
 SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
 FROM s GROUP BY user_id, session_n
+"""
+
+    def _hs_elev(dy: int, dx: int) -> str:
+        """Elevation at interior-neighbor (i+dy, j+dx) for the hillshade
+        oracle, with the qlossy per-channel quantization model applied when
+        fsel = 2 (same model as the thumb oracle)."""
+        y = f"(i+{dy})" if dy else "i"
+        x = f"(j+{dx})" if dx else "j"
+        v = f"((id*13 + {y}*{y}*3 + {x}*{x}*2 + {y}*{x}*5) % 1048576)"
+        q = (f"((({v}) // 65536) // 4 * 4 + 2) * 65536"
+             f" + (((({v}) // 256) % 256) // 4 * 4 + 2) * 256"
+             f" + ((({v}) % 256) // 4 * 4 + 2)")
+        return f"(CASE WHEN fsel = 2 THEN {q} ELSE {v} END)"
+
+    hillshade = f"""
+WITH __pts AS ({POINTS_SQL}),
+__ids AS (SELECT DISTINCT id, CAST(id % 3 AS INT) AS fsel FROM __pts WHERE id % 43 = 7),
+__g AS (
+  SELECT id, fsel, i.i AS i, j.j AS j
+  FROM __ids, generate_series(1, 14) i(i), generate_series(1, 22) j(j)),
+__grad AS (
+  SELECT id, i, j,
+         ({_hs_elev(-1, 1)} + 2*{_hs_elev(0, 1)} + {_hs_elev(1, 1)})
+       - ({_hs_elev(-1, -1)} + 2*{_hs_elev(0, -1)} + {_hs_elev(1, -1)}) AS gx,
+         ({_hs_elev(1, -1)} + 2*{_hs_elev(1, 0)} + {_hs_elev(1, 1)})
+       - ({_hs_elev(-1, -1)} + 2*{_hs_elev(-1, 0)} + {_hs_elev(-1, 1)}) AS gy
+  FROM __g),
+__px AS (
+  SELECT id, i - 1 AS zy, j - 1 AS zx,
+         least((abs(gx) + abs(gy)) // 16, 255) AS shade,
+         abs(gx) % 256 AS axm, abs(gy) % 256 AS aym
+  FROM __grad)
+SELECT id, round(CAST(sum(shade) AS DOUBLE) / 308, 6) AS mean_shade,
+       CAST(max(shade) AS BIGINT) AS max_shade,
+       CAST(sum(shade * (zy*29 + zx*13 + 1) + axm * (zy*29 + zx*13 + 8)
+                + aym * (zy*29 + zx*13 + 15)) % 2147483647 AS BIGINT) AS fp
+FROM __px GROUP BY 1
 """
 
     quality = r"""
@@ -2126,6 +2221,7 @@ FROM {gh_last}"""
         "ann_topk_lsh": ann_lsh,
         "zonal_stats": zonal,
         "thumb_stats": thumb,
+        "hillshade": hillshade,
         "phash_neardup": phash_neardup,
         "kmeans_assign": kmeans_sql_oracle,
         "ann_topk_ivf": ann_ivf_oracle,

@@ -290,3 +290,58 @@ def mosaic(children_df: DataFrame, out_fmt: str = "rawz") -> DataFrame:
     cols = ["parent_id", "child", "bytes", "fmt", "w", "h"]
     return (children_df.select(*cols)
             .groupBy("parent_id").applyInPandas(_mo, MOSAIC_SCHEMA))
+
+
+HILLSHADE_SCHEMA = "image_id string, shade binary, tw int, th int, fmt string"
+
+
+def hillshade(dem_df: DataFrame, shift: int = 4, out_fmt: str = "rawz") -> DataFrame:
+    """Terrain raster analysis: decode Terrain-RGB DEM tiles, run Horn's
+    3x3 gradient kernel (the standard slope/hillshade stencil) in exact
+    integer arithmetic, and re-encode the result as real image bytes.
+
+    Elevation is unpacked Mapbox-Terrain-RGB style from the 3 channels:
+    e = R*65536 + G*256 + B (the published encoding drops the -10000/0.1
+    affine, which cancels in gradients anyway). Horn (1981) gradients on
+    the (h-2, w-2) interior:
+
+      gx = (e[y-1,x+1] + 2e[y,x+1] + e[y+1,x+1])
+         - (e[y-1,x-1] + 2e[y,x-1] + e[y+1,x-1])
+      gy = the same stencil transposed
+
+    Output pixel packs (shade, |gx| % 256, |gy| % 256) where
+    shade = min(255, (|gx| + |gy|) >> shift) — an L1 gradient magnitude,
+    integer-exact (no float sqrt, so bit-identical across engines and
+    SQL-restatable for the contract oracle). One mapInPandas pass, no
+    shuffle: each tile is independent, so the operator scales linearly to
+    any corpus size and pairs with `mosaic`/`overzoom` for pyramid DEMs.
+    """
+    if shift < 0:
+        raise ValueError("shift must be >= 0")
+
+    from ..sources import images as I
+
+    def _shade(pdfs):
+        for pdf in pdfs:
+            out = {k: [] for k in ("image_id", "shade", "tw", "th", "fmt")}
+            for row in pdf.itertuples(index=False):
+                if row.bytes is None or row.w < 3 or row.h < 3:
+                    continue  # no interior pixels
+                px = I.decode(bytes(row.bytes), row.fmt, row.w, row.h).astype(np.int64)
+                e = px[:, :, 0] * 65536 + px[:, :, 1] * 256 + px[:, :, 2]
+                gx = ((e[:-2, 2:] + 2 * e[1:-1, 2:] + e[2:, 2:])
+                      - (e[:-2, :-2] + 2 * e[1:-1, :-2] + e[2:, :-2]))
+                gy = ((e[2:, :-2] + 2 * e[2:, 1:-1] + e[2:, 2:])
+                      - (e[:-2, :-2] + 2 * e[:-2, 1:-1] + e[:-2, 2:]))
+                ax, ay = np.abs(gx), np.abs(gy)
+                shade = np.minimum((ax + ay) >> shift, 255)
+                tile = np.stack([shade, ax % 256, ay % 256], axis=-1).astype(np.uint8)
+                out["image_id"].append(row.image_id)
+                out["shade"].append(I.encode(tile, out_fmt))
+                out["tw"].append(row.w - 2)
+                out["th"].append(row.h - 2)
+                out["fmt"].append(out_fmt)
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "fmt", "w", "h"]
+    return dem_df.select(*cols).mapInPandas(_shade, HILLSHADE_SCHEMA)

@@ -60,6 +60,7 @@ AUDIT = [
     ("decontaminate", "eval-shingle broadcast join + one groupBy(id) shuffle"),
     ("repetition_stats", "two explode->groupBy chains + per-doc window; no corpus-wide window"),
     ("pii_scrub", "regex count/redact: zero-shuffle codegen projection"),
+    ("hillshade", "DEM decode -> Horn stencil -> re-encode: one mapInPandas chain, no shuffle"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage

@@ -245,3 +245,54 @@ def test_mosaic_overzoom_inverse(spark):
         assert np.array_equal(
             I.decode(bytes(r.pbytes), "rawz", r.pw, r.ph),
             I.decode(bytes(s.bytes), s.fmt, s.w, s.h))
+
+
+def test_hillshade_exact_numpy(spark):
+    """Horn gradients + L1 shade on a random DEM tile match a direct numpy
+    reference through the full encode -> operator -> decode path."""
+    import numpy as np
+
+    from mvt_wrangler_spark.operators.multimodal import hillshade
+    from mvt_wrangler_spark.sources import images as I
+
+    rng = np.random.RandomState(7)
+    H, W = 9, 12
+    elev = rng.randint(0, 1 << 20, size=(H, W)).astype(np.int64)
+    px = np.stack([elev // 65536, (elev // 256) % 256, elev % 256],
+                  axis=-1).astype(np.uint8)
+
+    df = spark.createDataFrame(
+        [("t1", bytearray(I.encode(px, "rawz")), "rawz", W, H),
+         ("small", bytearray(b"xx"), "raw", 2, 2)],  # <3: no interior, dropped
+        "image_id string, bytes binary, fmt string, w int, h int")
+    out = {r["image_id"]: r for r in hillshade(df, shift=4).collect()}
+
+    assert "small" not in out
+    r = out["t1"]
+    assert (r["tw"], r["th"]) == (W - 2, H - 2)
+    got = I.decode(bytes(r["shade"]), r["fmt"], r["tw"], r["th"]).astype(np.int64)
+
+    gx = ((elev[:-2, 2:] + 2 * elev[1:-1, 2:] + elev[2:, 2:])
+          - (elev[:-2, :-2] + 2 * elev[1:-1, :-2] + elev[2:, :-2]))
+    gy = ((elev[2:, :-2] + 2 * elev[2:, 1:-1] + elev[2:, 2:])
+          - (elev[:-2, :-2] + 2 * elev[:-2, 1:-1] + elev[:-2, 2:]))
+    ax, ay = np.abs(gx), np.abs(gy)
+    want = np.stack([np.minimum((ax + ay) >> 4, 255), ax % 256, ay % 256],
+                    axis=-1)
+    assert np.array_equal(got, want)
+
+
+def test_hillshade_flat_dem_is_zero(spark):
+    """A constant-elevation tile has zero gradients everywhere."""
+    import numpy as np
+
+    from mvt_wrangler_spark.operators.multimodal import hillshade
+    from mvt_wrangler_spark.sources import images as I
+
+    px = np.full((5, 6, 3), 37, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("flat", bytearray(I.encode(px, "raw")), "raw", 6, 5)],
+        "image_id string, bytes binary, fmt string, w int, h int")
+    r = hillshade(df).collect()[0]
+    got = I.decode(bytes(r["shade"]), r["fmt"], r["tw"], r["th"])
+    assert not got.any()
