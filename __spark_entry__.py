@@ -106,6 +106,18 @@ def q_tile_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select("z", "x", "y", "n_rows")
 
 
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I of per-tile point counts (queen weights) at zoom Z:
+    one scalar row answering 'is point density spatially clustered?'.
+    All distributed aggregates are exact integer sums; see rollup.morans_i."""
+    from mvt_wrangler_spark.functions import tiling
+    from mvt_wrangler_spark.operators import rollup as R
+
+    pts = tiling.assign_tiles(_points(spark, sf_dir), z=Z, with_local=False)
+    counts = pts.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    return R.morans_i(counts)
+
+
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
@@ -782,6 +794,58 @@ def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats, "id long, mean_shade double, max_shade long, fp long")
 
 
+def q_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide histogram equalization value-checked end to end: skewed
+    algebraic images (v = u^2 for u = (id*7 + y*3 + x + c*5) % 16) are
+    encoded to real bytes, the engine computes ONE global 256-bin histogram
+    (bounded 256-row collect), remaps every pixel through the integer CDF
+    LUT, re-encodes, and the check decodes the equalized BYTES into
+    per-image mean + fingerprint. The oracle restates histogram, cumsum
+    LUT (window sum), and remap in SQL — including the qlossy per-channel
+    quantization model on the input side."""
+    import numpy as np
+    import pandas as pd
+
+    from mvt_wrangler_spark.operators import multimodal as M
+    from mvt_wrangler_spark.sources import images as I
+
+    W, H = 16, 8
+    ids = _points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(47)) == 9).distinct()
+
+    def gen(pdfs):
+        fmts = ["raw", "rawz", "qlossy"]
+        for pdf in pdfs:
+            rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
+                u = (int(i) * 7 + yy * 3 + xx + cc * 5) % 16
+                px = (u * u).astype(np.uint8)  # skewed: 16 clumped levels
+                fmt = fmts[int(i) % 3]
+                rows["image_id"].append(str(int(i)))
+                rows["bytes"].append(I.encode(px, fmt))
+                rows["fmt"].append(fmt)
+                rows["w"].append(W)
+                rows["h"].append(H)
+            yield pd.DataFrame(rows)
+
+    imgs = ids.mapInPandas(gen, "image_id string, bytes binary, fmt string, w int, h int")
+    eq = M.equalize(imgs, out_fmt="rawz")
+
+    def stats(pdfs):
+        for pdf in pdfs:
+            rows = {"id": [], "mean_eq": [], "fp": []}
+            for row in pdf.itertuples(index=False):
+                t = I.decode(bytes(row.eq), row.fmt, row.w, row.h).astype(np.int64)
+                zy, zx, cc = np.mgrid[0: row.h, 0: row.w, 0:3]
+                fp = int((t * (zy * 29 + zx * 13 + cc * 7 + 1)).sum() % 2147483647)
+                rows["id"].append(int(row.image_id))
+                rows["mean_eq"].append(round(float(t.sum()) / (row.h * row.w * 3), 6))
+                rows["fp"].append(fp)
+            yield pd.DataFrame(rows)
+
+    return eq.mapInPandas(stats, "id long, mean_eq double, fp long")
+
+
 def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup by phash hamming banding, value-checked bit-for-bit:
     synthesize 62-bit phashes in pure integer column math (cluster base =
@@ -1366,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "archive_roundtrip": q_archive_roundtrip,
         "pyramid_rollup": q_pyramid_rollup,
         "tile_stats_salted": q_tile_stats_salted,
+        "morans_i": q_morans_i,
         "pip_join": q_pip_join,
         "pip_join_partitioned": q_pip_join_partitioned,
         "intersects_join_partitioned": q_intersects_join_partitioned,
@@ -1401,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "thumb_stats": q_thumb_stats,
         "hillshade": q_hillshade,
+        "equalize": q_equalize,
         "phash_neardup": q_phash_neardup,
         "kmeans_assign": q_kmeans_assign,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1501,6 +1567,24 @@ FROM __xy
         "WITH " + ",\n".join([pts, xy])
         + " SELECT z, x, y, CAST(count(*) AS BIGINT) AS n_rows FROM __xy GROUP BY 1,2,3"
     )
+
+    morans = f"""
+WITH {pts}, {xy},
+__t AS (SELECT x, y, count(*) AS c FROM __xy GROUP BY 1, 2),
+__g AS (SELECT count(*) AS n, sum(c) AS t, sum(c*c) AS q FROM __t),
+__nb AS (
+  SELECT t1.c AS ci, t1.x + o.dx AS nx, t1.y + o.dy AS ny
+  FROM __t t1, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+__p AS (
+  SELECT count(*) AS s0, sum(ci * t2.c) AS p, sum(ci + t2.c) AS s1
+  FROM __nb JOIN __t t2 ON nx = t2.x AND ny = t2.y)
+SELECT CAST(n AS BIGINT) AS n_tiles, CAST(s0 AS BIGINT) AS s0,
+       CASE WHEN s0 * (n*q - t*t) <> 0
+            THEN round(CAST(n*n*p - n*t*s1 + t*t*s0 AS DOUBLE)
+                       / CAST(s0 * (n*q - t*t) AS DOUBLE), 6)
+       END AS morans_i
+FROM __g, __p
+"""
 
     pip_arms = "\nUNION ALL\n".join(
         f"SELECT id, '{pid}' AS admin_id FROM __pts WHERE {halfplane_sql(pid, v)}"
@@ -1743,6 +1827,32 @@ SELECT id, round(CAST(sum(shade) AS DOUBLE) / 308, 6) AS mean_shade,
        CAST(sum(shade * (zy*29 + zx*13 + 1) + axm * (zy*29 + zx*13 + 8)
                 + aym * (zy*29 + zx*13 + 15)) % 2147483647 AS BIGINT) AS fp
 FROM __px GROUP BY 1
+"""
+
+    equalize_sql = f"""
+WITH __pts AS ({POINTS_SQL}),
+__ids AS (SELECT DISTINCT id, CAST(id % 3 AS INT) AS fsel FROM __pts WHERE id % 47 = 9),
+__px AS (
+  SELECT id, i.i AS i, j.j AS j, c.c AS c,
+         CASE WHEN fsel = 2
+              THEN (((id*7 + i.i*3 + j.j + c.c*5) % 16) * ((id*7 + i.i*3 + j.j + c.c*5) % 16)) // 4 * 4 + 2
+              ELSE ((id*7 + i.i*3 + j.j + c.c*5) % 16) * ((id*7 + i.i*3 + j.j + c.c*5) % 16)
+         END AS v
+  FROM __ids, generate_series(0, 7) i(i), generate_series(0, 15) j(j),
+       generate_series(0, 2) c(c)),
+__h AS (SELECT v AS bin, count(*) AS cnt FROM __px GROUP BY 1),
+__cdf AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cdf FROM __h),
+__tot AS (SELECT sum(cnt) AS total, (SELECT min(cdf) FROM __cdf) AS cdfmin FROM __h),
+__lut AS (
+  SELECT bin, CASE WHEN total > cdfmin
+                   THEN (cdf - cdfmin) * 255 // (total - cdfmin) ELSE 0
+              END AS e
+  FROM __cdf, __tot)
+SELECT id,
+       round(CAST(sum(e) AS DOUBLE) / 384, 6) AS mean_eq,
+       CAST(sum(e * (i*29 + j*13 + c*7 + 1)) % 2147483647 AS BIGINT) AS fp
+FROM __px JOIN __lut ON v = bin
+GROUP BY 1
 """
 
     quality = r"""
@@ -2196,6 +2306,7 @@ FROM {gh_last}"""
         "archive_roundtrip": archive_roundtrip,
         "pyramid_rollup": pyramid,
         "tile_stats_salted": tile_stats,
+        "morans_i": morans,
         "pip_join": pip_join,
         "pip_join_partitioned": pip_join,
         "intersects_join_partitioned": intersects_join,
@@ -2222,6 +2333,7 @@ FROM {gh_last}"""
         "zonal_stats": zonal,
         "thumb_stats": thumb,
         "hillshade": hillshade,
+        "equalize": equalize_sql,
         "phash_neardup": phash_neardup,
         "kmeans_assign": kmeans_sql_oracle,
         "ann_topk_ivf": ann_ivf_oracle,

@@ -191,7 +191,7 @@ def main() -> None:
         "tile_shards", "spatial_cluster",
         # round-6 additions
         "dataset_split", "mosaic", "token_count", "decontaminate",
-        "repetition_stats", "pii_scrub", "hillshade",
+        "repetition_stats", "pii_scrub", "hillshade", "morans_i", "equalize",
     ]
     # two readings per query: cold (first run — the round-over-round
     # comparable series, includes codegen/JIT compile) and warm (second run —

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 AUDIO_META_SCHEMA = "media_id string, sample_rate int, n_samples bigint, channels int"
 FRAME_SAMPLE_SCHEMA = (
@@ -345,3 +346,67 @@ def hillshade(dem_df: DataFrame, shift: int = 4, out_fmt: str = "rawz") -> DataF
 
     cols = ["image_id", "bytes", "fmt", "w", "h"]
     return dem_df.select(*cols).mapInPandas(_shade, HILLSHADE_SCHEMA)
+
+
+EQUALIZE_SCHEMA = "image_id string, eq binary, w int, h int, fmt string"
+
+
+def equalize(images_df: DataFrame, out_fmt: str = "rawz") -> DataFrame:
+    """Corpus-wide histogram equalization: one global 256-bin histogram
+    over every decoded pixel (all channels), then a per-pixel LUT remap —
+    the canonical 'global statistic -> broadcast -> per-row transform'
+    shape (same two-pass plan a global contrast/normalization step runs
+    at corpus scale).
+
+    Pass 1 is a mapInPandas partial bincount (each Arrow batch emits at
+    most 256 (bin, cnt) rows) + one 256-key groupBy — the collect is 256
+    rows regardless of corpus size. The LUT is the classic formula
+    lut[v] = (cdf[v] - cdf_min) * 255 // (total - cdf_min) with integer
+    floor division (exact on both engines); a constant corpus
+    (total == cdf_min) maps to 0. Pass 2 decodes, remaps through the
+    closure-captured 256-byte LUT, and re-encodes real bytes.
+    """
+    from ..sources import images as I
+
+    def _hist(pdfs):
+        for pdf in pdfs:
+            acc = np.zeros(256, dtype=np.int64)
+            for row in pdf.itertuples(index=False):
+                if row.bytes is None:
+                    continue
+                px = I.decode(bytes(row.bytes), row.fmt, row.w, row.h)
+                acc += np.bincount(px.ravel(), minlength=256)
+            nz = np.nonzero(acc)[0]
+            yield pd.DataFrame({"bin": nz.astype(np.int32), "cnt": acc[nz]})
+
+    hist_rows = (images_df.select("image_id", "bytes", "fmt", "w", "h")
+                 .mapInPandas(_hist, "bin int, cnt long")
+                 .groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+                 .collect())  # bounded: <= 256 rows at any corpus size
+    hist = np.zeros(256, dtype=np.int64)
+    for r in hist_rows:
+        hist[r["bin"]] = r["cnt"]
+    cdf = np.cumsum(hist)
+    total = int(cdf[-1])
+    cdf_min = int(cdf[np.nonzero(hist)[0][0]]) if total else 0
+    if total > cdf_min:
+        lut = ((cdf - cdf_min) * 255 // (total - cdf_min)).astype(np.uint8)
+    else:
+        lut = np.zeros(256, dtype=np.uint8)
+
+    def _remap(pdfs):
+        for pdf in pdfs:
+            out = {k: [] for k in ("image_id", "eq", "w", "h", "fmt")}
+            for row in pdf.itertuples(index=False):
+                if row.bytes is None:
+                    continue
+                px = I.decode(bytes(row.bytes), row.fmt, row.w, row.h)
+                out["image_id"].append(row.image_id)
+                out["eq"].append(I.encode(lut[px], out_fmt))
+                out["w"].append(row.w)
+                out["h"].append(row.h)
+                out["fmt"].append(out_fmt)
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "fmt", "w", "h"]
+    return images_df.select(*cols).mapInPandas(_remap, EQUALIZE_SCHEMA)

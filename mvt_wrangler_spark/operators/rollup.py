@@ -70,3 +70,64 @@ def pyramid_rollup(base: DataFrame, base_z: int, min_z: int = 0) -> DataFrame:
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def morans_i(tiles: DataFrame, x_col: str = "x", y_col: str = "y",
+             cnt_col: str = "cnt") -> DataFrame:
+    """Global Moran's I spatial autocorrelation of per-tile counts with
+    queen (8-neighbor) binary weights — the standard 'is density clustered,
+    dispersed, or random?' statistic over a tile grid.
+
+    I = (N / S0) * sum_ij w_ij (c_i - m)(c_j - m) / sum_i (c_i - m)^2
+
+    Exactness: with m = T/N rational, the numerator and denominator are
+    cleared of fractions — A = N^2*P - N*T*S1 + T^2*S0 and
+    B = S0*(N*Q - T^2) where P = sum over ordered neighbor pairs of
+    c_i*c_j, S1 = sum of (c_i + c_j), Q = sum c^2 — so every distributed
+    aggregate is an order-independent integer sum and only the final A/B
+    division is floating point (identical on both engines). The scalar
+    A, B are computed in DECIMAL(38,0) so hot-tile counts can't overflow
+    int64 at corpus scale.
+
+    Scale shape: the input is the already-aggregated tile-count table
+    (bounded by 4^z rows regardless of corpus size); neighbor pairs are an
+    8-offset key explode + equi-join on (x, y) — no inequality join, no
+    cartesian. Two scalar aggregates meet on a constant key (broadcast),
+    producing one output row.
+    """
+    c = F.col(cnt_col)
+    g = tiles.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(c).alias("__t"),
+        F.sum(c * c).alias("__q"),
+    ).withColumn("__k", F.lit(1))
+
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)]
+    nb = tiles.select(
+        c.alias("__ci"),
+        F.explode(F.array(*[
+            F.struct((F.col(x_col) + dx).alias("nx"),
+                     (F.col(y_col) + dy).alias("ny"))
+            for dx, dy in offs])).alias("__nb"),
+    ).select("__ci", F.col("__nb.nx").alias("__nx"), F.col("__nb.ny").alias("__ny"))
+    right = tiles.select(F.col(x_col).alias("__nx"), F.col(y_col).alias("__ny"),
+                         c.alias("__cj"))
+    p = nb.join(right, ["__nx", "__ny"]).agg(
+        F.count(F.lit(1)).alias("__s0"),
+        F.sum(F.col("__ci") * F.col("__cj")).alias("__p"),
+        F.sum(F.col("__ci") + F.col("__cj")).alias("__s1"),
+    ).withColumn("__k", F.lit(1))
+
+    d = lambda name: F.col(name).cast("decimal(38,0)")  # noqa: E731
+    a_num = (d("__n") * d("__n") * d("__p") - d("__n") * d("__t") * d("__s1")
+             + d("__t") * d("__t") * d("__s0"))
+    b_den = d("__s0") * (d("__n") * d("__q") - d("__t") * d("__t"))
+    return (g.join(p, "__k")
+            .select(
+                F.col("__n").cast("long").alias("n_tiles"),
+                F.col("__s0").cast("long").alias("s0"),
+                F.when(b_den != 0,
+                       F.round(a_num.cast("double") / b_den.cast("double"), 6))
+                 .alias("morans_i"),
+            ))

@@ -296,3 +296,38 @@ def test_hillshade_flat_dem_is_zero(spark):
     r = hillshade(df).collect()[0]
     got = I.decode(bytes(r["shade"]), r["fmt"], r["tw"], r["th"])
     assert not got.any()
+
+
+def test_equalize_matches_numpy_reference(spark):
+    """Global-histogram equalization equals a direct numpy reference
+    (shared CDF across images, integer floor LUT), and a constant corpus
+    maps to zeros instead of dividing by zero."""
+    import numpy as np
+
+    from mvt_wrangler_spark.operators.multimodal import equalize
+    from mvt_wrangler_spark.sources import images as I
+
+    rng = np.random.RandomState(3)
+    imgs = {f"i{k}": rng.randint(0, 64, size=(4, 5, 3)).astype(np.uint8) ** 1
+            for k in range(3)}
+    df = spark.createDataFrame(
+        [(k, bytearray(I.encode(v, "rawz")), "rawz", 5, 4) for k, v in imgs.items()],
+        "image_id string, bytes binary, fmt string, w int, h int")
+    got = {r["image_id"]: r for r in equalize(df).collect()}
+
+    hist = np.zeros(256, dtype=np.int64)
+    for v in imgs.values():
+        hist += np.bincount(v.ravel(), minlength=256)
+    cdf = np.cumsum(hist)
+    total, cdf_min = int(cdf[-1]), int(cdf[np.nonzero(hist)[0][0]])
+    lut = ((cdf - cdf_min) * 255 // (total - cdf_min)).astype(np.uint8)
+    for k, v in imgs.items():
+        out = I.decode(bytes(got[k]["eq"]), got[k]["fmt"], 5, 4)
+        assert np.array_equal(out, lut[v]), k
+
+    flat = np.full((3, 3, 3), 99, dtype=np.uint8)
+    fdf = spark.createDataFrame(
+        [("f", bytearray(I.encode(flat, "raw")), "raw", 3, 3)],
+        "image_id string, bytes binary, fmt string, w int, h int")
+    r = equalize(fdf).collect()[0]
+    assert not I.decode(bytes(r["eq"]), r["fmt"], 3, 3).any()

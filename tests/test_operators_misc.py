@@ -286,3 +286,46 @@ def test_interval_join_null_endpoints_dropped(spark):
         p, iv, point_col="t", start_col="lo", end_col="hi",
         bucket_width=10, max_buckets_per_interval=5).collect()}
     assert got == {(1, 0)}
+
+
+def test_morans_i_matches_bruteforce(spark):
+    """Operator output equals the textbook double-loop formula, and the
+    sign behaves: clustered grid -> positive, checkerboard -> negative."""
+    from mvt_wrangler_spark.operators.rollup import morans_i
+
+    def brute(cells):
+        n = len(cells)
+        m = sum(c for _, _, c in cells) / n
+        num = den = s0 = 0
+        for (x1, y1, c1) in cells:
+            den += (c1 - m) ** 2
+            for (x2, y2, c2) in cells:
+                if (x1, y1) != (x2, y2) and abs(x1 - x2) <= 1 and abs(y1 - y2) <= 1:
+                    num += (c1 - m) * (c2 - m)
+                    s0 += 1
+        return n, s0, (n / s0) * num / den
+
+    def run(cells):
+        df = spark.createDataFrame(cells, "x int, y int, cnt long")
+        r = morans_i(df).collect()[0]
+        return r["n_tiles"], r["s0"], r["morans_i"]
+
+    # clustered: a hot 2x2 block inside a cold 4x4 grid
+    clustered = [(x, y, 100 if x < 2 and y < 2 else 1)
+                 for x in range(4) for y in range(4)]
+    n, s0, i_ref = brute(clustered)
+    ng, s0g, ig = run(clustered)
+    assert (ng, s0g) == (n, s0)
+    assert abs(ig - i_ref) < 1e-6 and ig > 0
+
+    # checkerboard: alternating high/low -> negative autocorrelation
+    checker = [(x, y, 10 if (x + y) % 2 == 0 else 1)
+               for x in range(4) for y in range(4)]
+    n, s0, i_ref = brute(checker)
+    ng, s0g, ig = run(checker)
+    assert (ng, s0g) == (n, s0)
+    assert abs(ig - i_ref) < 1e-6 and ig < 0
+
+    # constant field: denominator 0 -> null, not a crash
+    flat = [(x, y, 5) for x in range(3) for y in range(3)]
+    assert run(flat)[2] is None
