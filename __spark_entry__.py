@@ -118,6 +118,17 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.morans_i(counts)
 
 
+def q_hot_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-score per zoom-Z tile (queen weights incl.
+    self). Exact integer aggregates; pinned double evaluation order."""
+    from mvt_wrangler_spark.functions import tiling
+    from mvt_wrangler_spark.operators import rollup as R
+
+    pts = tiling.assign_tiles(_points(spark, sf_dir), z=Z, with_local=False)
+    counts = pts.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    return R.getis_ord_gi(counts)
+
+
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
@@ -1431,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_rollup": q_pyramid_rollup,
         "tile_stats_salted": q_tile_stats_salted,
         "morans_i": q_morans_i,
+        "hot_tiles": q_hot_tiles,
         "pip_join": q_pip_join,
         "pip_join_partitioned": q_pip_join_partitioned,
         "intersects_join_partitioned": q_intersects_join_partitioned,
@@ -1584,6 +1596,34 @@ SELECT CAST(n AS BIGINT) AS n_tiles, CAST(s0 AS BIGINT) AS s0,
                        / CAST(s0 * (n*q - t*t) AS DOUBLE), 6)
        END AS morans_i
 FROM __g, __p
+"""
+
+    hot_tiles = f"""
+WITH {pts}, {xy},
+__t AS (SELECT x, y, count(*) AS c FROM __xy GROUP BY 1, 2),
+__g AS (SELECT count(*) AS n, sum(c) AS t, sum(c*c) AS q FROM __t),
+__hood AS (
+  SELECT t1.x + o.dx AS x, t1.y + o.dy AS y, sum(t1.c) AS sumw, count(*) AS w
+  FROM __t t1, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)
+  GROUP BY 1, 2)
+SELECT t.x, t.y, CAST(t.c AS BIGINT) AS cnt, CAST(h.w AS BIGINT) AS w_i,
+       CASE WHEN sqrt(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(t2.t AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(t2.t AS DOUBLE) / CAST(n AS DOUBLE)))
+                 * sqrt((CAST(n AS DOUBLE) * CAST(h.w AS DOUBLE)
+                         - CAST(h.w AS DOUBLE) * CAST(h.w AS DOUBLE))
+                        / (CAST(n AS DOUBLE) - 1.0)) > 0
+            THEN round((CAST(h.sumw AS DOUBLE)
+                        - (CAST(t2.t AS DOUBLE) / CAST(n AS DOUBLE))
+                          * CAST(h.w AS DOUBLE))
+                       / (sqrt(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                               - (CAST(t2.t AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * (CAST(t2.t AS DOUBLE) / CAST(n AS DOUBLE)))
+                          * sqrt((CAST(n AS DOUBLE) * CAST(h.w AS DOUBLE)
+                                  - CAST(h.w AS DOUBLE) * CAST(h.w AS DOUBLE))
+                                 / (CAST(n AS DOUBLE) - 1.0))), 6)
+       END AS gi_star
+FROM __t t JOIN __hood h ON t.x = h.x AND t.y = h.y, __g t2
 """
 
     pip_arms = "\nUNION ALL\n".join(
@@ -2307,6 +2347,7 @@ FROM {gh_last}"""
         "pyramid_rollup": pyramid,
         "tile_stats_salted": tile_stats,
         "morans_i": morans,
+        "hot_tiles": hot_tiles,
         "pip_join": pip_join,
         "pip_join_partitioned": pip_join,
         "intersects_join_partitioned": intersects_join,

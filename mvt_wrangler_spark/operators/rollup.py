@@ -131,3 +131,56 @@ def morans_i(tiles: DataFrame, x_col: str = "x", y_col: str = "y",
                        F.round(a_num.cast("double") / b_den.cast("double"), 6))
                  .alias("morans_i"),
             ))
+
+
+def getis_ord_gi(tiles: DataFrame, x_col: str = "x", y_col: str = "y",
+                 cnt_col: str = "cnt") -> DataFrame:
+    """Getis-Ord Gi* hot-spot statistic per tile (queen weights including
+    self): the z-score of each tile's neighborhood sum against the global
+    mean — the standard 'which tiles are significantly hot/cold?' local
+    companion to the global Moran's I.
+
+      Gi* = (sum_j c_j - m*W_i) / (S * sqrt((N*W_i - W_i^2) / (N-1)))
+      m = T/N,  S = sqrt(Q/N - m^2)
+
+    over the j in tile i's 3x3 neighborhood that exist, W_i = their count.
+    The floating-point evaluation ORDER is pinned identically in the
+    DuckDB twin (each division/sqrt step is an IEEE double op, so the
+    results are bit-identical); all distributed aggregates (T, Q, N,
+    neighborhood sums) are exact integer sums.
+
+    Scale shape: one 9-offset explode + groupBy over the bounded tile
+    table, an equi-join back to the tiles, and a broadcast of the 1-row
+    global scalars on a constant key. No inequality join, no window.
+    """
+    c = F.col(cnt_col)
+    g = tiles.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(c).alias("__t"),
+        F.sum(c * c).alias("__q"),
+    ).withColumn("__k", F.lit(1))
+
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    contrib = tiles.select(
+        c.alias("__cj"),
+        F.explode(F.array(*[
+            F.struct((F.col(x_col) + dx).alias("tx"),
+                     (F.col(y_col) + dy).alias("ty"))
+            for dx, dy in offs])).alias("__to"),
+    ).select(F.col("__to.tx").alias(x_col), F.col("__to.ty").alias(y_col), "__cj")
+    hood = contrib.groupBy(x_col, y_col).agg(
+        F.sum("__cj").alias("__sumw"), F.count(F.lit(1)).alias("__w"))
+
+    n, t, q = F.col("__n"), F.col("__t"), F.col("__q")
+    w, sumw = F.col("__w").cast("double"), F.col("__sumw").cast("double")
+    m = t.cast("double") / n.cast("double")
+    s = F.sqrt(q.cast("double") / n.cast("double") - m * m)
+    den = s * F.sqrt((n.cast("double") * w - w * w) / (n.cast("double") - F.lit(1.0)))
+    return (tiles.join(hood, [x_col, y_col])
+            .withColumn("__k", F.lit(1)).join(g, "__k")
+            .select(
+                F.col(x_col), F.col(y_col), c.cast("long").alias("cnt"),
+                F.col("__w").cast("long").alias("w_i"),
+                F.when(den > 0, F.round((sumw - m * w) / den, 6))
+                 .alias("gi_star"),
+            ))

@@ -63,18 +63,20 @@ AUDIT = [
     ("hillshade", "DEM decode -> Horn stencil -> re-encode: one mapInPandas chain, no shuffle"),
     ("morans_i", "tile counts + 8-offset neighbor equi-join; scalar join on constant key"),
     ("equalize", "global 256-bin histogram (bounded collect) + LUT remap mapInPandas"),
+    ("hot_tiles", "Gi*: 9-offset explode + groupBy + tile equi-join + 1-row scalar broadcast"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage:
 # morans_i joins two ONE-ROW scalar aggregates on a constant key (Catalyst
 # folds the trivially-true condition into a 1x1 broadcast-NLJ)
-CARTESIAN_OK = {"ann_topk", "morans_i"}
+CARTESIAN_OK = {"ann_topk", "morans_i", "hot_tiles"}
 # queries whose plans legitimately contain a SinglePartition exchange:
 # tile_quantiles' is the P-row per-partition OFFSET table (P = shuffle
 # parallelism, input-size independent) — the data rows never pass through it.
 # morans_i produces one global scalar row: the final agg over the already
 # partial-aggregated (<=4^z-row) tile table is a single-partition combine.
-SINGLE_PARTITION_OK = {"tile_quantiles", "morans_i"}
+# hot_tiles broadcasts the same 1-row global scalar into the per-tile join.
+SINGLE_PARTITION_OK = {"tile_quantiles", "morans_i", "hot_tiles"}
 # widest permitted parquet ReadSchema in an audited plan (column pruning
 # gate: every audited query projects a handful of columns). Per-query
 # overrides for queries that GENUINELY consume more: asof_join reads 5 of

@@ -329,3 +329,34 @@ def test_morans_i_matches_bruteforce(spark):
     # constant field: denominator 0 -> null, not a crash
     flat = [(x, y, 5) for x in range(3) for y in range(3)]
     assert run(flat)[2] is None
+
+
+def test_getis_ord_gi_matches_bruteforce(spark):
+    """Gi* per tile equals the textbook formula; the hot block scores the
+    highest z and cold corners score negative."""
+    import math
+
+    from mvt_wrangler_spark.operators.rollup import getis_ord_gi
+
+    cells = [(x, y, 100 if x < 2 and y < 2 else 1)
+             for x in range(5) for y in range(5)]
+    df = spark.createDataFrame(cells, "x int, y int, cnt long")
+    got = {(r["x"], r["y"]): r for r in getis_ord_gi(df).collect()}
+
+    n = len(cells)
+    t = sum(c for _, _, c in cells)
+    q = sum(c * c for _, _, c in cells)
+    m = t / n
+    s = math.sqrt(q / n - m * m)
+    by_xy = {(x, y): c for x, y, c in cells}
+    for (x, y, c) in cells:
+        hood = [by_xy[(x + dx, y + dy)] for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                if (x + dx, y + dy) in by_xy]
+        w = len(hood)
+        den = s * math.sqrt((n * w - w * w) / (n - 1))
+        ref = (sum(hood) - m * w) / den
+        r = got[(x, y)]
+        assert r["w_i"] == w
+        assert abs(r["gi_star"] - ref) < 1e-6, (x, y)
+    assert got[(0, 0)]["gi_star"] == max(r["gi_star"] for r in got.values())
+    assert got[(4, 4)]["gi_star"] < 0
