@@ -437,6 +437,33 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pii_scrub(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist curation value-checked end to end: deterministic
+    URL-bearing text is built from point ids (identical string algebra on
+    both engines), URLs -> hosts -> registrable domains are regex-extracted,
+    and a broadcast blocklist join yields per-doc (n_urls, n_blocked, keep).
+    Every 11th doc carries no URL (exercises the left-join keep path)."""
+    from mvt_wrangler_spark.operators import text as T
+
+    ids = _points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(29)) == 2).distinct()
+    i = F.col("id")
+    s1 = F.concat(F.lit("https://www.shop"), F.pmod(i, F.lit(5)),
+                  F.lit(".example"), F.pmod(i, F.lit(7)),
+                  F.lit(".com/item/"), i)
+    s2 = F.concat(F.lit("http://cdn"), F.pmod(i, F.lit(3)),
+                  F.lit(".assets"), F.pmod(i, F.lit(4)),
+                  F.lit(".net:8080/f/"), i)
+    text = F.when(F.pmod(i, F.lit(11)) == 0, F.lit("no links today"))\
+            .when(F.pmod(i, F.lit(2)) == 0,
+                  F.concat(F.lit("buy at "), s1, F.lit(" and "), s2, F.lit(" now")))\
+            .otherwise(F.concat(F.lit("see "), s1, F.lit(" today")))
+    docs = ids.select(i.alias("doc_id"), text.alias("text"))
+    blocked = spark.createDataFrame(
+        [("example0.com",), ("example3.com",), ("example6.com",),
+         ("assets1.net",), ("assets3.net",)], ["domain"])
+    return T.blocklist_scrub(docs, blocked)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force integer-quantized dot-product top-k (ANN baseline)."""
     from pyspark.sql import Window
@@ -1464,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
+        "blocklist_scrub": q_blocklist_scrub,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "minhash_lsh": q_minhash_lsh,
@@ -1867,6 +1895,36 @@ SELECT id, round(CAST(sum(shade) AS DOUBLE) / 308, 6) AS mean_shade,
        CAST(sum(shade * (zy*29 + zx*13 + 1) + axm * (zy*29 + zx*13 + 8)
                 + aym * (zy*29 + zx*13 + 15)) % 2147483647 AS BIGINT) AS fp
 FROM __px GROUP BY 1
+"""
+
+    from mvt_wrangler_spark.operators.text import REG_DOMAIN_RE, URL_RE
+
+    _shop = ("'https://www.shop' || CAST(id % 5 AS VARCHAR) || '.example' || "
+             "CAST(id % 7 AS VARCHAR) || '.com/item/' || CAST(id AS VARCHAR)")
+    _cdn = ("'http://cdn' || CAST(id % 3 AS VARCHAR) || '.assets' || "
+            "CAST(id % 4 AS VARCHAR) || '.net:8080/f/' || CAST(id AS VARCHAR)")
+    blocklist_scrub_sql = f"""
+WITH __pts AS ({POINTS_SQL}),
+__ids AS (SELECT DISTINCT id FROM __pts WHERE id % 29 = 2),
+__d AS (
+  SELECT id AS doc_id,
+         CASE WHEN id % 11 = 0 THEN 'no links today'
+              WHEN id % 2 = 0 THEN 'buy at ' || {_shop} || ' and ' || {_cdn} || ' now'
+              ELSE 'see ' || {_shop} || ' today'
+         END AS text
+  FROM __ids),
+__u AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '{URL_RE}', 1)) AS host FROM __d),
+__dom AS (SELECT doc_id, regexp_extract(host, '{REG_DOMAIN_RE}', 1) AS domain FROM __u),
+__bl AS (SELECT * FROM (VALUES ('example0.com'), ('example3.com'),
+                               ('example6.com'), ('assets1.net'),
+                               ('assets3.net')) b(domain)),
+__pd AS (
+  SELECT doc_id, count(*) AS n_urls, count(b.domain) AS n_blocked
+  FROM __dom d LEFT JOIN __bl b USING (domain) GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(n_urls, 0) AS BIGINT) AS n_urls,
+       CAST(coalesce(n_blocked, 0) AS BIGINT) AS n_blocked,
+       coalesce(n_blocked, 0) = 0 AS keep
+FROM __d d LEFT JOIN __pd USING (doc_id)
 """
 
     equalize_sql = f"""
@@ -2369,6 +2427,7 @@ FROM {gh_last}"""
         "decontaminate": decontaminate_sql_str,
         "repetition_stats": repetition_stats_sql_str,
         "pii_scrub": pii_scrub_sql_str,
+        "blocklist_scrub": blocklist_scrub_sql,
         "ann_topk": ann,
         "ann_topk_lsh": ann_lsh,
         "zonal_stats": zonal,

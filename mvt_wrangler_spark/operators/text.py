@@ -329,3 +329,49 @@ SELECT {id_col},
        regexp_replace(t2, '{p}', '<PHONE>', 'g') AS text_clean
 FROM __s2
 """
+
+
+# URL + registrable-domain patterns in the java.util.regex / RE2 common
+# subset. Host label class excludes ':' so ports stay out of group 1.
+URL_RE = r"https?://([A-Za-z0-9.-]+)(:[0-9]+)?(/[^ \t\n\r]*)?"
+REG_DOMAIN_RE = r"([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$"
+
+
+def extract_domains(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, domain) for every URL occurrence in every document: extract
+    hosts with one regexp_extract_all pass, reduce each to its registrable
+    domain (last two labels), explode. Pure codegen; docs without URLs
+    contribute no rows."""
+    hosts = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(1))
+    doms = F.transform(hosts, lambda h: F.regexp_extract(h, REG_DOMAIN_RE, 1))
+    return df.select(id_col, F.explode(doms).alias("domain"))
+
+
+def blocklist_scrub(docs: DataFrame, blocked: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    domain_col: str = "domain") -> DataFrame:
+    """Domain-blocklist curation: per document, the URL count, how many of
+    its URLs hit the blocklist, and the keep/drop verdict — the standard
+    'drop pages linking to spam/adult domains' filter.
+
+    Scale shape: blocklists are small dims (thousands to millions of
+    rows) next to the corpus, so the join is an explicit BROADCAST hash
+    join on the extracted registrable domain; one groupBy(id) with
+    map-side combine, then a left join back to keep URL-free documents
+    (they have no exploded rows but must be kept with n_urls = 0)."""
+    doms = extract_domains(docs, id_col, text_col)
+    b = F.broadcast(blocked.select(F.col(domain_col).alias("domain"))
+                    .distinct().withColumn("__b", F.lit(1)))
+    per_doc = (doms.join(b, "domain", "left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_urls"),
+                    F.sum(F.coalesce("__b", F.lit(0))).cast("long")
+                     .alias("n_blocked")))
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_urls", F.lit(0).cast("long")).alias("n_urls"),
+                F.coalesce("n_blocked", F.lit(0).cast("long")).alias("n_blocked"),
+                (F.coalesce("n_blocked", F.lit(0)) == 0).alias("keep"),
+            ))

@@ -64,6 +64,7 @@ AUDIT = [
     ("morans_i", "tile counts + 8-offset neighbor equi-join; scalar join on constant key"),
     ("equalize", "global 256-bin histogram (bounded collect) + LUT remap mapInPandas"),
     ("hot_tiles", "Gi*: 9-offset explode + groupBy + tile equi-join + 1-row scalar broadcast"),
+    ("blocklist_scrub", "domain explode + BROADCAST blocklist join + one groupBy(id)"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage:

