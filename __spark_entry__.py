@@ -464,6 +464,50 @@ def q_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.blocklist_scrub(docs, blocked)
 
 
+def q_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline: exact dedup + repetition + PII +
+    length + language gates composed into one keep/drop verdict with a
+    priority-ordered drop reason (dup > repetitive > pii > short > lang).
+    The corpus is spiked deterministically (identical algebra on both
+    engines) so every gate fires: +1e6 ids are exact duplicates, +2e6 ids
+    carry an email, +3e6 ids are one line repeated three times. Each
+    signal is the SAME operator the standalone contract queries check; the
+    oracle composes the corresponding SQL twins as CTEs over the spiked
+    corpus."""
+    from mvt_wrangler_spark.operators import dedup as D
+    from mvt_wrangler_spark.operators import text as T
+
+    base = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    d = F.col("doc_id")
+    dups = base.filter(d % 10 == 0).select((d + 1000000).alias("doc_id"), "text")
+    piis = base.filter(d % 17 == 0).select(
+        (d + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" contact bob@spam.io now")).alias("text"))
+    ln = F.concat(F.lit("repeat me "), d.cast("string"))
+    reps = base.filter(d % 13 == 0).select(
+        (d + 3000000).alias("doc_id"),
+        F.concat(ln, F.lit("\n"), ln, F.lit("\n"), ln).alias("text"))
+    docs = base.unionAll(dups).unionAll(piis).unionAll(reps)
+
+    keeper = (D.exact_dedup(docs, on="text", order_col="doc_id")
+              .select("doc_id").withColumn("__k", F.lit(1)))
+    tok = T.token_counts(docs).select("doc_id", "n_ws_tokens")
+    rep = T.repetition_stats(docs).select("doc_id", "dup_line_frac")
+    pii = T.pii_scrub(docs).select("doc_id", "has_pii")
+    lang = T.lang_id(docs)
+    j = (docs.select("doc_id").join(keeper, "doc_id", "left")
+         .join(tok, "doc_id").join(rep, "doc_id")
+         .join(pii, "doc_id").join(lang, "doc_id"))
+    reason = (F.when(F.col("__k").isNull(), "dup")
+              .when(F.col("dup_line_frac") > 0.3, "repetitive")
+              .when(F.col("has_pii"), "pii")
+              .when(F.col("n_ws_tokens") < 20, "short")
+              .when(F.col("lang_pred") == "unk", "lang"))
+    return j.select("doc_id", reason.isNull().alias("keep"),
+                    reason.alias("reason"))
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force integer-quantized dot-product top-k (ANN baseline)."""
     from pyspark.sql import Window
@@ -1492,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "blocklist_scrub": q_blocklist_scrub,
+        "curate_e2e": q_curate_e2e,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "minhash_lsh": q_minhash_lsh,
@@ -1895,6 +1940,51 @@ SELECT id, round(CAST(sum(shade) AS DOUBLE) / 308, 6) AS mean_shade,
        CAST(sum(shade * (zy*29 + zx*13 + 1) + axm * (zy*29 + zx*13 + 8)
                 + aym * (zy*29 + zx*13 + 15)) % 2147483647 AS BIGINT) AS fp
 FROM __px GROUP BY 1
+"""
+
+    _spiked_docs = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' contact bob@spam.io now'
+  FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + 3000000,
+         'repeat me ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+         'repeat me ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+         'repeat me ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 13 = 0"""
+    curate_e2e = f"""
+WITH __docs AS ({_spiked_docs}),
+__keep AS (
+  SELECT doc_id, 1 AS k FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM __docs) WHERE rn = 1),
+__tok AS ({token_counts_sql('__docs')}),
+__rep AS ({repetition_stats_sql('__docs')}),
+__pii AS ({pii_scrub_sql('__docs')}),
+__lang AS (
+  SELECT doc_id,
+         CASE WHEN en >= 3 THEN 'en' WHEN en >= 1 THEN 'en-ish' ELSE 'unk'
+         END AS lang_pred
+  FROM (SELECT doc_id,
+          (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+        + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3
+        + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5 AS en
+        FROM __docs)),
+__r AS (
+  SELECT d.doc_id,
+         CASE WHEN k.k IS NULL THEN 'dup'
+              WHEN r.dup_line_frac > 0.3 THEN 'repetitive'
+              WHEN p.has_pii THEN 'pii'
+              WHEN t.n_ws_tokens < 20 THEN 'short'
+              WHEN l.lang_pred = 'unk' THEN 'lang'
+         END AS reason
+  FROM __docs d LEFT JOIN __keep k USING (doc_id)
+       JOIN __tok t USING (doc_id) JOIN __rep r USING (doc_id)
+       JOIN __pii p USING (doc_id) JOIN __lang l USING (doc_id))
+SELECT doc_id, reason IS NULL AS keep, reason FROM __r
 """
 
     from mvt_wrangler_spark.operators.text import REG_DOMAIN_RE, URL_RE
@@ -2428,6 +2518,7 @@ FROM {gh_last}"""
         "repetition_stats": repetition_stats_sql_str,
         "pii_scrub": pii_scrub_sql_str,
         "blocklist_scrub": blocklist_scrub_sql,
+        "curate_e2e": curate_e2e,
         "ann_topk": ann,
         "ann_topk_lsh": ann_lsh,
         "zonal_stats": zonal,

@@ -65,6 +65,7 @@ AUDIT = [
     ("equalize", "global 256-bin histogram (bounded collect) + LUT remap mapInPandas"),
     ("hot_tiles", "Gi*: 9-offset explode + groupBy + tile equi-join + 1-row scalar broadcast"),
     ("blocklist_scrub", "domain explode + BROADCAST blocklist join + one groupBy(id)"),
+    ("curate_e2e", "composed curation gates: per-doc signal aggs joined on doc_id"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage:
