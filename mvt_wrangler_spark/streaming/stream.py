@@ -111,3 +111,25 @@ def snapshot_sink(table_root: str, n_buckets: int = 8, key_max: int | None = Non
                           sort_col="tile_id")
 
     return _write
+
+
+def stream_blocklist_hits(doc_stream: DataFrame, blocked: DataFrame,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Streaming curation flags: incoming documents joined against a STATIC
+    blocklist dim — the stream-static broadcast join pattern. Each emitted
+    row is one (doc, blocked domain) hit.
+
+    Fully STATELESS: domain extraction is a per-row projection + explode,
+    and a stream-static inner join keeps no watermark state (only
+    stream-stream joins do), so this runs at any stream rate with zero
+    state store growth — unlike a per-doc re-aggregation, which would need
+    unbounded doc_id state. Downstream either drops flagged ids (left-anti
+    in the batch layer) or feeds an alerting sink; the batch twin is
+    operators/text.blocklist_scrub.
+    """
+    from ..operators.text import extract_domains
+
+    doms = extract_domains(doc_stream, id_col=id_col, text_col=text_col)
+    b = F.broadcast(blocked.select(F.col("domain")).distinct())
+    return doms.join(b, "domain").select(id_col, "domain")

@@ -89,3 +89,37 @@ def test_snapshot_sink_compacts_every_n_batches(spark, tmp_path):
     write(batch2, 2)
     assert table.current_snapshot_id() == snap_before
     assert table.read_current(spark).count() == 200
+
+
+@pytest.mark.spark
+def test_stream_blocklist_hits_matches_batch(spark, tmp_path):
+    """The stateless stream-static blocklist join emits exactly the hits
+    the batch operator counts, across micro-batches."""
+    from mvt_wrangler_spark.operators.text import blocklist_scrub
+    from mvt_wrangler_spark.streaming.stream import stream_blocklist_hits
+
+    src = str(tmp_path / "docs")
+    mk = lambda i: (f"see https://www.s{i % 3}.dom{i % 4}.com/x page"  # noqa: E731
+                    if i % 5 else "no links here")
+    b0 = spark.createDataFrame([(i, mk(i)) for i in range(20)], ["doc_id", "text"])
+    b1 = spark.createDataFrame([(i, mk(i)) for i in range(20, 40)], ["doc_id", "text"])
+    b0.coalesce(1).write.parquet(f"{src}/f=0")
+    b1.coalesce(1).write.parquet(f"{src}/f=1")
+    blocked = spark.createDataFrame([("dom1.com",), ("dom3.com",)], ["domain"])
+
+    schema = spark.read.parquet(f"{src}/f=0").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/f=*"))
+    hits = stream_blocklist_hits(stream, blocked)
+    q = (hits.writeStream.outputMode("append").format("memory")
+         .queryName("sblock").option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["doc_id"], r["domain"])
+           for r in spark.sql("SELECT * FROM sblock").collect()}
+    batch = blocklist_scrub(b0.unionAll(b1), blocked)
+    flagged = {r["doc_id"] for r in batch.filter("n_blocked > 0").collect()}
+    assert {d for d, _ in got} == flagged
+    assert all(dom in ("dom1.com", "dom3.com") for _, dom in got)
+    assert flagged == {i for i in range(40) if i % 5 and i % 4 in (1, 3)}
