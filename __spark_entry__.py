@@ -464,6 +464,14 @@ def q_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.blocklist_scrub(docs, blocked)
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by term frequency (+ doc
+    frequency), global top-k as TakeOrderedAndProject — no full sort."""
+    from mvt_wrangler_spark.operators import text as T
+
+    return T.vocab_topk(spark.read.parquet(f"{sf_dir}/documents.parquet"), k=100)
+
+
 def q_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline: exact dedup + repetition + PII +
     length + language gates composed into one keep/drop verdict with a
@@ -1537,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "blocklist_scrub": q_blocklist_scrub,
         "curate_e2e": q_curate_e2e,
+        "vocab_topk": q_vocab_topk,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "minhash_lsh": q_minhash_lsh,
@@ -1874,7 +1883,8 @@ FROM h
     from mvt_wrangler_spark.operators.text import (decontaminate_sql,
                                                    pii_scrub_sql,
                                                    repetition_stats_sql,
-                                                   token_counts_sql)
+                                                   token_counts_sql,
+                                                   vocab_topk_sql)
     token_count_sql_str = token_counts_sql("documents")
     decontaminate_sql_str = decontaminate_sql(
         "documents", shingle=8, eval_pred="doc_id % 37 = 3")
@@ -2519,6 +2529,7 @@ FROM {gh_last}"""
         "pii_scrub": pii_scrub_sql_str,
         "blocklist_scrub": blocklist_scrub_sql,
         "curate_e2e": curate_e2e,
+        "vocab_topk": vocab_topk_sql("documents", k=100),
         "ann_topk": ann,
         "ann_topk_lsh": ann_lsh,
         "zonal_stats": zonal,

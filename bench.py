@@ -192,7 +192,7 @@ def main() -> None:
         # round-6 additions
         "dataset_split", "mosaic", "token_count", "decontaminate",
         "repetition_stats", "pii_scrub", "hillshade", "morans_i", "equalize",
-        "hot_tiles", "blocklist_scrub", "curate_e2e",
+        "hot_tiles", "blocklist_scrub", "curate_e2e", "vocab_topk",
     ]
     # two readings per query: cold (first run — the round-over-round
     # comparable series, includes codegen/JIT compile) and warm (second run —

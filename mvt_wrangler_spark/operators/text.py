@@ -379,3 +379,36 @@ def blocklist_scrub(docs: DataFrame, blocked: DataFrame,
                 F.coalesce("n_blocked", F.lit(0).cast("long")).alias("n_blocked"),
                 (F.coalesce("n_blocked", F.lit(0)) == 0).alias("keep"),
             ))
+
+
+def vocab_topk(df: DataFrame, k: int = 100, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: the k most frequent whitespace tokens with doc
+    frequencies — the vocab-building / token-histogram pass of a training
+    pipeline. One explode + one groupBy(token) with map-side combine; the
+    global top-k is sort+limit, which Spark plans as TakeOrderedAndProject
+    (per-partition heaps + driver merge of k rows — no single-partition
+    sort of the full vocab). Ties break on the token string ascending, so
+    the result is a pure function of the corpus."""
+    tok = (df.select(id_col, F.explode(_tokens(F.col(text_col))).alias("token"))
+           .filter(F.col("token") != ""))
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct(id_col).alias("df"))
+    return (counts.orderBy(F.col("tf").desc(), F.col("token").asc())
+            .limit(k))
+
+
+def vocab_topk_sql(table: str = "documents", k: int = 100,
+                   id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of vocab_topk."""
+    return rf"""
+WITH __t AS (
+  SELECT {id_col} AS id,
+         UNNEST(string_split_regex(trim({text_col}), '\s+')) AS token
+  FROM {table})
+SELECT token, CAST(count(*) AS BIGINT) AS tf,
+       CAST(count(DISTINCT id) AS BIGINT) AS df
+FROM __t WHERE token <> ''
+GROUP BY 1 ORDER BY tf DESC, token ASC LIMIT {k}
+"""

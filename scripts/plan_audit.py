@@ -66,6 +66,7 @@ AUDIT = [
     ("hot_tiles", "Gi*: 9-offset explode + groupBy + tile equi-join + 1-row scalar broadcast"),
     ("blocklist_scrub", "domain explode + BROADCAST blocklist join + one groupBy(id)"),
     ("curate_e2e", "composed curation gates: per-doc signal aggs joined on doc_id"),
+    ("vocab_topk", "token explode + groupBy + TakeOrderedAndProject global top-k"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage:

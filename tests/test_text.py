@@ -204,3 +204,22 @@ def test_regex_parity_three_engines(spark):
         "SELECT len(regexp_extract_all(?, ?))",
         [s, PII_IPV4_RE]).fetchone()[0]
     assert duck_n == 1  # RE2: é is not an ASCII word char -> boundary
+
+
+def test_vocab_topk_hand_computed(spark):
+    from mvt_wrangler_spark.operators.text import vocab_topk
+
+    docs = spark.createDataFrame([
+        (1, "b a a"), (2, "a b"), (3, "c  c\tb"), (4, ""),
+    ], ["doc_id", "text"])
+    rows = vocab_topk(docs, k=2).collect()
+    # tf: a=3 (docs 1,2), b=3 (docs 1,2,3), c=2 (doc 3); tie a/b -> token asc
+    assert [(r["token"], r["tf"], r["df"]) for r in rows] == \
+           [("a", 3, 2), ("b", 3, 3)]
+    # global top-k must plan as TakeOrdered, not a single-partition sort
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        vocab_topk(docs, k=2).explain()
+    assert "TakeOrderedAndProject" in buf.getvalue()
