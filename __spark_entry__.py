@@ -1507,6 +1507,64 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "split")
 
 
+def q_ring_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGC-style ring simplicity check over the geom_measures rings: count
+    proper crossings + improper touches between NON-ADJACENT edges of each
+    ring (a bowtie or a vertex-on-edge spike makes even-odd vs winding
+    fills disagree — simplifiers must drop/repair before encoding). Exact
+    int64 orientation tests; candidate pairs come from a per-(ring, cell)
+    grid-bucket self-join instead of O(k²) all-pairs — see
+    operators/overlay.py. DuckDB twin brute-forces the pairs with the same
+    integer predicate, so the bucketing itself is what's under test."""
+    from mvt_wrangler_spark.operators.overlay import ring_validity
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber").cast("long")
+    v = li.select(
+        ok.alias("gkey"), ln.alias("vord"),
+        F.pmod(ok * 7919 + ln * 104729, F.lit(4096)).alias("vx"),
+        F.pmod(ok * 104729 + ln * 7919, F.lit(4096)).alias("vy"))
+    rings = (v.groupBy("gkey")
+             .agg(F.array_sort(F.collect_list(F.struct("vord", "vx", "vy")))
+                  .alias("vs"))
+             .filter(F.size("vs") >= 3)
+             .select("gkey", F.col("vs.vx").alias("xs"),
+                     F.col("vs.vy").alias("ys")))
+    return ring_validity(rings)
+
+
+def q_line_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line/line overlay join: proper crossings between two layers of short
+    integer segments (road×road grade crossings), aggregated to crossing
+    counts per left segment. The join is cell-bucketed (cell 64 = max
+    segment extent, so each bbox covers <= 4 cells) + distinct + exact
+    integer orientation test — never an all-pairs shape. Segments are
+    synthesized from lineitem keys: anchor = hash mod 4096, endpoint =
+    anchor + (hash mod 129 - 64) clamped to the tile box; layers are the
+    id mod 16 == 2 / == 11 slices (disjoint (orderkey parity, linenumber)
+    classes) to keep the oracle's pair volume bounded. The sf0.001 lattice
+    is mutually avoiding (0 crossings); sf0.01 has ~2.3k."""
+    from mvt_wrangler_spark.operators.overlay import segment_cross_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber").cast("long")
+    sid = (ok * 8 + ln).alias("id")
+    ax = F.pmod(ok * 7919 + ln * 104729, F.lit(4096))
+    ay = F.pmod(ok * 104729 + ln * 7919, F.lit(4096))
+    bx = F.greatest(F.lit(0).cast("long"), F.least(
+        F.lit(4095).cast("long"),
+        ax + F.pmod(ok * 131 + ln * 7919, F.lit(129)) - 64))
+    by = F.greatest(F.lit(0).cast("long"), F.least(
+        F.lit(4095).cast("long"),
+        ay + F.pmod(ok * 52379 + ln * 31337, F.lit(129)) - 64))
+    segs = li.select(sid, ax.alias("ax"), ay.alias("ay"),
+                     bx.alias("bx"), by.alias("by"))
+    a = segs.filter(F.pmod(F.col("id"), F.lit(16)) == 2)
+    b = segs.filter(F.pmod(F.col("id"), F.lit(16)) == 11)
+    x = segment_cross_join(a, b, cell_size=64)
+    return x.groupBy("a_id").agg(F.count("*").alias("n_cross"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full spatial pipeline at sf0.001 -> per-tile stats."""
     return q_pipeline_e2e(spark, "/root/testdata/sf0.001")
@@ -1585,6 +1643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_shards": q_tile_shards,
         "spatial_cluster": q_spatial_cluster,
         "dataset_split": q_dataset_split,
+        "ring_valid": q_ring_valid,
+        "line_cross": q_line_cross,
     }
 
 
@@ -2431,6 +2491,86 @@ SELECT doc_id,
 FROM documents
 """
 
+    from mvt_wrangler_spark.operators.overlay import (
+        FLAGS_SQL,
+        PROPER_SQL,
+        touch_sql,
+    )
+
+    # brute-force non-adjacent pair enumeration (no cell bucketing — the
+    # bucketed Spark plan is exactly what's under test), same int64
+    # orientation polynomials as operators/overlay.py.
+    ring_valid = f"""
+WITH __v AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS gkey,
+         CAST(l_linenumber AS BIGINT) AS vord,
+         ((l_orderkey*7919 + CAST(l_linenumber AS BIGINT)*104729) % 4096 + 4096) % 4096 AS vx,
+         ((l_orderkey*104729 + CAST(l_linenumber AS BIGINT)*7919) % 4096 + 4096) % 4096 AS vy
+  FROM lineitem),
+__g AS (SELECT gkey, count(*) AS n FROM __v GROUP BY gkey HAVING count(*) >= 3),
+__e AS (
+  SELECT v.gkey,
+         CAST(row_number() OVER w - 1 AS BIGINT) AS eid,
+         vx AS ax, vy AS ay,
+         coalesce(lead(vx) OVER w, first_value(vx) OVER wf) AS bx,
+         coalesce(lead(vy) OVER w, first_value(vy) OVER wf) AS by
+  FROM __v v JOIN __g USING (gkey)
+  WINDOW w AS (PARTITION BY v.gkey ORDER BY vord),
+         wf AS (PARTITION BY v.gkey ORDER BY vord
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+__p AS (
+  SELECT a.gkey, a.ax AS p_ax, a.ay AS p_ay, a.bx AS p_bx, a.by AS p_by,
+         b.ax AS q_ax, b.ay AS q_ay, b.bx AS q_bx, b.by AS q_by,
+{FLAGS_SQL.format(p='a.', q='b.')}
+  FROM __e a JOIN __e b ON a.gkey = b.gkey AND a.eid < b.eid
+  JOIN __g g ON g.gkey = a.gkey
+  WHERE b.eid - a.eid <> 1 AND NOT (a.eid = 0 AND b.eid = g.n - 1)),
+__c AS (
+  SELECT gkey,
+         CAST(sum(CASE WHEN {PROPER_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+         CAST(sum(CASE WHEN {touch_sql('p_', 'q_')} THEN 1 ELSE 0 END) AS BIGINT) AS n_touch
+  FROM __p GROUP BY gkey)
+SELECT g.gkey, CAST(g.n AS BIGINT) AS n_edges,
+       coalesce(c.n_cross, 0) AS n_cross,
+       coalesce(c.n_touch, 0) AS n_touch,
+       (coalesce(c.n_cross, 0) + coalesce(c.n_touch, 0)) = 0 AS is_simple
+FROM __g g LEFT JOIN __c c USING (gkey)
+"""
+
+    # same cell-bucket candidate generation as the Spark plan (equality
+    # joins only — a brute n×m inequality join would be a nested loop in
+    # DuckDB), exact flags shared via FLAGS_SQL/PROPER_SQL.
+    line_cross = f"""
+WITH __s AS (
+  SELECT CAST(l_orderkey*8 + l_linenumber AS BIGINT) AS id,
+         ((l_orderkey*7919 + CAST(l_linenumber AS BIGINT)*104729) % 4096 + 4096) % 4096 AS ax,
+         ((l_orderkey*104729 + CAST(l_linenumber AS BIGINT)*7919) % 4096 + 4096) % 4096 AS ay,
+         greatest(0, least(4095,
+           ((l_orderkey*7919 + CAST(l_linenumber AS BIGINT)*104729) % 4096 + 4096) % 4096
+           + ((l_orderkey*131 + CAST(l_linenumber AS BIGINT)*7919) % 129 + 129) % 129 - 64)) AS bx,
+         greatest(0, least(4095,
+           ((l_orderkey*104729 + CAST(l_linenumber AS BIGINT)*7919) % 4096 + 4096) % 4096
+           + ((l_orderkey*52379 + CAST(l_linenumber AS BIGINT)*31337) % 129 + 129) % 129 - 64)) AS by
+  FROM lineitem),
+__a1 AS (SELECT *, unnest(generate_series(least(ax,bx)//64, greatest(ax,bx)//64)) AS cx
+         FROM __s WHERE id % 16 = 2),
+__a2 AS (SELECT *, unnest(generate_series(least(ay,by)//64, greatest(ay,by)//64)) AS cy
+         FROM __a1),
+__b1 AS (SELECT *, unnest(generate_series(least(ax,bx)//64, greatest(ax,bx)//64)) AS cx
+         FROM __s WHERE id % 16 = 11),
+__b2 AS (SELECT *, unnest(generate_series(least(ay,by)//64, greatest(ay,by)//64)) AS cy
+         FROM __b1),
+__pp AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+                a.ax AS p_ax, a.ay AS p_ay, a.bx AS p_bx, a.by AS p_by,
+                b.ax AS q_ax, b.ay AS q_ay, b.bx AS q_bx, b.by AS q_by
+         FROM __a2 a JOIN __b2 b ON a.cx = b.cx AND a.cy = b.cy),
+__f AS (SELECT a_id, b_id,
+{FLAGS_SQL.format(p='p_', q='q_')}
+        FROM __pp)
+SELECT a_id, CAST(count(*) AS BIGINT) AS n_cross
+FROM __f WHERE {PROPER_SQL} GROUP BY a_id
+"""
+
     from mvt_wrangler_spark.operators.simplify import simplify_sql
 
     simplify = f"""
@@ -2495,6 +2635,8 @@ FROM {gh_last}"""
         "tile_shards": tile_shards,
         "spatial_cluster": spatial_cluster_sql,
         "dataset_split": dataset_split,
+        "ring_valid": ring_valid,
+        "line_cross": line_cross,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,
