@@ -421,6 +421,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.decontaminate(docs.filter(~ev), docs.filter(ev), shingle=8)
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-boilerplate detection: per doc, distinct 12-gram shingles
+    occurring in >= 4 distinct docs (header/footer/template chrome). One
+    Arrow shingle pass, doc frequency via a window over the shingle key
+    (no self-join, no recomputed subtree), one groupBy(id)."""
+    from mvt_wrangler_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return T.boilerplate_stats(docs, shingle=12, min_docs=4)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals: duplicate-line fraction,
     duplicate-line char fraction, top word bigram + covered fraction."""
@@ -1645,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "ring_valid": q_ring_valid,
         "line_cross": q_line_cross,
+        "boilerplate": q_boilerplate,
     }
 
 
@@ -1940,12 +1952,15 @@ SELECT doc_id, CASE WHEN en >= 3 THEN 'en' WHEN en >= 1 THEN 'en-ish' ELSE 'unk'
 FROM h
 """
 
-    from mvt_wrangler_spark.operators.text import (decontaminate_sql,
+    from mvt_wrangler_spark.operators.text import (boilerplate_stats_sql,
+                                                   decontaminate_sql,
                                                    pii_scrub_sql,
                                                    repetition_stats_sql,
                                                    token_counts_sql,
                                                    vocab_topk_sql)
     token_count_sql_str = token_counts_sql("documents")
+    boilerplate_sql_str = boilerplate_stats_sql("documents", shingle=12,
+                                                min_docs=4)
     decontaminate_sql_str = decontaminate_sql(
         "documents", shingle=8, eval_pred="doc_id % 37 = 3")
     repetition_stats_sql_str = repetition_stats_sql("documents")
@@ -2637,6 +2652,7 @@ FROM {gh_last}"""
         "dataset_split": dataset_split,
         "ring_valid": ring_valid,
         "line_cross": line_cross,
+        "boilerplate": boilerplate_sql_str,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

@@ -412,3 +412,64 @@ SELECT token, CAST(count(*) AS BIGINT) AS tf,
 FROM __t WHERE token <> ''
 GROUP BY 1 ORDER BY tf DESC, token ASC LIMIT {k}
 """
+
+
+def boilerplate_stats(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", shingle: int = 12,
+                      min_docs: int = 4) -> DataFrame:
+    """Corpus-boilerplate detection: per document, how many of its DISTINCT
+    char n-gram shingles occur in >= min_docs distinct documents — the
+    header/footer/nav-chrome signal CCNet-style curation uses to drop or
+    down-weight template-heavy pages (complements `decontaminate`, which
+    checks against an EVAL set; this is the corpus checked against itself).
+
+    Returns (id, n_shingles, n_boiler, boilerplate) where boilerplate means
+    at least half the doc's shingles are corpus-common (integer compare, no
+    float ratio).
+
+    Scale shape: ONE Arrow shingle pass (shingle_set_column is distinct per
+    doc, so (doc, shingle) needs no extra dedup), then count(*) over a
+    window partitioned by shingle — document frequency WITHOUT a
+    self-join, so the shingle pass is never recomputed as its own join
+    partner (the double-execution trap ngram_jaccard needed an eager
+    checkpoint for) — then one groupBy(id) with map-side partial agg.
+    Two shuffles total (shingle, id); hot shingles skew the window
+    partition but its state is a single counter, not a buffered list.
+    """
+    from .dedup import shingle_set_column
+    from pyspark.sql import Window
+
+    sh = df.select(
+        id_col,
+        F.explode(shingle_set_column(F.col(text_col), shingle)).alias("__sh"))
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("__sh"))
+    return (sh.withColumn("__df", dfreq)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum((F.col("__df") >= min_docs).cast("long"))
+                 .alias("n_boiler"))
+            .select(id_col, "n_shingles", "n_boiler",
+                    (F.col("n_boiler") * 2 >= F.col("n_shingles"))
+                    .alias("boilerplate")))
+
+
+def boilerplate_stats_sql(table: str = "documents", id_col: str = "doc_id",
+                          text_col: str = "text", shingle: int = 12,
+                          min_docs: int = 4) -> str:
+    """DuckDB twin of boilerplate_stats (same shingle hashes as minhash /
+    ngram_jaccard / decontaminate via shingle_hashes_sql_expr)."""
+    from .dedup import shingle_hashes_sql_expr
+
+    sh = shingle_hashes_sql_expr(text_col, shingle)
+    return f"""
+WITH __s AS (
+  SELECT {id_col} AS id, UNNEST(list_distinct({sh})) AS sh FROM {table}),
+__w AS (SELECT id, count(*) OVER (PARTITION BY sh) AS dfreq FROM __s)
+SELECT id AS {id_col},
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN dfreq >= {min_docs} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler,
+       sum(CASE WHEN dfreq >= {min_docs} THEN 1 ELSE 0 END) * 2 >= count(*)
+           AS boilerplate
+FROM __w GROUP BY id
+"""

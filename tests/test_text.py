@@ -223,3 +223,34 @@ def test_vocab_topk_hand_computed(spark):
     with redirect_stdout(buf):
         vocab_topk(docs, k=2).explain()
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_boilerplate_stats_hand_computed(spark):
+    from collections import Counter
+
+    from mvt_wrangler_spark.operators.dedup import _shingle_hashes_np
+    from mvt_wrangler_spark.operators.text import boilerplate_stats
+
+    # 3 docs share the template prefix; doc 3 is unique text
+    docs = [
+        (0, "HEADER NAV xyz unique zero"),
+        (1, "HEADER NAV xyz something else"),
+        (2, "HEADER NAV xyz third body"),
+        (3, "completely different content"),
+    ]
+    n, min_docs = 5, 2
+    # pure-python replica: distinct shingles per doc, doc freq, counts
+    sets = {i: set(_shingle_hashes_np(t, n).tolist()) for i, t in docs}
+    dfreq = Counter(s for v in sets.values() for s in v)
+    expected = {
+        i: (len(sets[i]), sum(1 for s in sets[i] if dfreq[s] >= min_docs))
+        for i, _ in docs
+    }
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_shingles, r.n_boiler, r.boilerplate)
+           for r in boilerplate_stats(df, shingle=n, min_docs=min_docs).collect()}
+    for i, (ns, nb) in expected.items():
+        assert got[i] == (ns, nb, nb * 2 >= ns)
+    assert got[0][1] > 0            # template shingles detected
+    assert got[3][1] == 0           # unique doc has no corpus-common shingles
+    assert got[3][2] is False
