@@ -838,6 +838,64 @@ def q_thumb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats, "id long, mean_r double, mean_g double, mean_b double, fp long")
 
 
+def q_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction value-checked end to end: algebraic
+    images (24x16, the thumb_stats formula) are encoded to real bytes
+    (raw/rawz/qlossy cycling by id), the engine decodes and splits each
+    into an 8x8 patch grid re-encoded as rawz patch rows, and the check
+    decodes those PATCH BYTES back into per-patch channel sums + a
+    patch-local position-weighted fingerprint. The oracle restates the
+    pixel formula (incl. the qlossy quantization model) and the grid
+    arithmetic in SQL, so decode, grid split, and the patch codec
+    round-trip all sit under the driver's value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from mvt_wrangler_spark.operators import multimodal as M
+    from mvt_wrangler_spark.sources import images as I
+
+    W, H, P = 24, 16, 8
+    ids = _points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(47)) == 9).distinct()
+
+    def gen(pdfs):
+        fmts = ["raw", "rawz", "qlossy"]
+        for pdf in pdfs:
+            rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
+                px = ((int(i) * 31 + yy * 7 + xx * 13 + cc * 5) % 256).astype(np.uint8)
+                fmt = fmts[int(i) % 3]
+                rows["image_id"].append(str(int(i)))
+                rows["bytes"].append(I.encode(px, fmt))
+                rows["fmt"].append(fmt)
+                rows["w"].append(W)
+                rows["h"].append(H)
+            yield pd.DataFrame(rows)
+
+    imgs = ids.mapInPandas(gen, "image_id string, bytes binary, fmt string, w int, h int")
+    patches = M.extract_patches(imgs, patch=P, out_fmt="rawz")
+
+    def stats(pdfs):
+        for pdf in pdfs:
+            rows = {"id": [], "gy": [], "gx": [],
+                    "sum_r": [], "sum_g": [], "sum_b": [], "fp": []}
+            for row in pdf.itertuples(index=False):
+                t = I.decode(bytes(row.patch), row.fmt, row.pw, row.ph).astype(np.int64)
+                zy, zx, cc = np.mgrid[0: row.ph, 0: row.pw, 0:3]
+                rows["id"].append(int(row.image_id))
+                rows["gy"].append(int(row.gy))
+                rows["gx"].append(int(row.gx))
+                for col, c in (("sum_r", 0), ("sum_g", 1), ("sum_b", 2)):
+                    rows[col].append(int(t[:, :, c].sum()))
+                rows["fp"].append(int((t * (zy * 29 + zx * 13 + cc * 7 + 1)).sum()
+                                      % 2147483647))
+            yield pd.DataFrame(rows)
+
+    return patches.mapInPandas(
+        stats,
+        "id long, gy int, gx int, sum_r long, sum_g long, sum_b long, fp long")
+
+
 def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Terrain-RGB hillshade value-checked end to end: algebraic DEM tiles
     (elev = (id*13 + y*y*3 + x*x*2 + y*x*5) % 2^20, packed R*65536+G*256+B)
@@ -1628,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "zonal_stats": q_zonal_stats,
         "thumb_stats": q_thumb_stats,
+        "patch_stats": q_patch_stats,
         "hillshade": q_hillshade,
         "equalize": q_equalize,
         "phash_neardup": q_phash_neardup,
@@ -2213,6 +2272,24 @@ SELECT id,
 FROM __blk GROUP BY 1
 """
 
+    patch_stats = f"""
+WITH __pts AS ({POINTS_SQL}),
+__ids AS (SELECT DISTINCT id, CAST(id % 3 AS INT) AS fsel FROM __pts WHERE id % 47 = 9),
+__ppx AS (
+  SELECT id, i.i AS i, j.j AS j, c.c AS c,
+         CASE WHEN fsel = 2
+              THEN ((id*31 + i.i*7 + j.j*13 + c.c*5) % 256) // 4 * 4 + 2
+              ELSE (id*31 + i.i*7 + j.j*13 + c.c*5) % 256 END AS v
+  FROM __ids, generate_series(0, 15) i(i), generate_series(0, 23) j(j),
+       generate_series(0, 2) c(c))
+SELECT id, CAST(i // 8 AS INT) AS gy, CAST(j // 8 AS INT) AS gx,
+       CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+       CAST(sum(v * ((i % 8)*29 + (j % 8)*13 + c*7 + 1)) % 2147483647 AS BIGINT) AS fp
+FROM __ppx GROUP BY 1, 2, 3
+"""
+
     # exact tile-size quantiles: value at rank ceil(q*n/100) with (cnt, x, y)
     # tie-break, integer rank target in both engines
     tile_quantiles = f"""
@@ -2692,6 +2769,7 @@ FROM {gh_last}"""
         "ann_topk_lsh": ann_lsh,
         "zonal_stats": zonal,
         "thumb_stats": thumb,
+        "patch_stats": patch_stats,
         "hillshade": hillshade,
         "equalize": equalize_sql,
         "phash_neardup": phash_neardup,

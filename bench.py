@@ -193,7 +193,7 @@ def main() -> None:
         "dataset_split", "mosaic", "token_count", "decontaminate",
         "repetition_stats", "pii_scrub", "hillshade", "morans_i", "equalize",
         "hot_tiles", "blocklist_scrub", "curate_e2e", "vocab_topk",
-        "ring_valid", "line_cross", "boilerplate",
+        "ring_valid", "line_cross", "boilerplate", "patch_stats",
     ]
     # two readings per query: cold (first run — the round-over-round
     # comparable series, includes codegen/JIT compile) and warm (second run —

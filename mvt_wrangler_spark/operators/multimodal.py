@@ -410,3 +410,54 @@ def equalize(images_df: DataFrame, out_fmt: str = "rawz") -> DataFrame:
 
     cols = ["image_id", "bytes", "fmt", "w", "h"]
     return images_df.select(*cols).mapInPandas(_remap, EQUALIZE_SCHEMA)
+
+
+PATCH_SCHEMA = "image_id string, gy int, gx int, patch binary, pw int, ph int, fmt string"
+
+
+def extract_patches(images_df: DataFrame, patch: int = 8,
+                    out_fmt: str = "rawz") -> DataFrame:
+    """ViT-style patch extraction: decode -> non-overlapping patch x patch
+    grid -> re-encode each patch as its own image row.
+
+    The tokenization step of a vision-training pipeline (an image becomes
+    (h//p)*(w//p) patch rows keyed by grid position), expressed as one
+    mapInPandas pass: Arrow batches in, pure-numpy reshape per image (no
+    per-pixel Python), real codec bytes out so downstream consumers (dedup,
+    ANN over patch embeddings, shard packing) read patches exactly like
+    images. Images are cropped to the largest covered grid (floor(h/p)*p)
+    — the same convention as `thumbnail`. Output size fans out ~(h*w)/p²
+    rows per image: partitioning by image keeps a task's working set at
+    one decoded image + its patches, independent of corpus size.
+    """
+    if patch < 1:
+        raise ValueError("patch must be >= 1")
+
+    from ..sources import images as I
+
+    def _patches(pdfs):
+        for pdf in pdfs:
+            out = {k: [] for k in ("image_id", "gy", "gx", "patch", "pw", "ph", "fmt")}
+            for row in pdf.itertuples(index=False):
+                if row.bytes is None:
+                    continue
+                px = I.decode(bytes(row.bytes), row.fmt, row.w, row.h)
+                gh, gw = row.h // patch, row.w // patch
+                if gh == 0 or gw == 0:
+                    continue  # smaller than one patch
+                grid = (px[: gh * patch, : gw * patch, :]
+                        .reshape(gh, patch, gw, patch, 3)
+                        .transpose(0, 2, 1, 3, 4))  # (gy, gx, p, p, 3)
+                for gy in range(gh):
+                    for gx in range(gw):
+                        out["image_id"].append(row.image_id)
+                        out["gy"].append(gy)
+                        out["gx"].append(gx)
+                        out["patch"].append(I.encode(grid[gy, gx], out_fmt))
+                        out["pw"].append(patch)
+                        out["ph"].append(patch)
+                        out["fmt"].append(out_fmt)
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "fmt", "w", "h"]
+    return images_df.select(*cols).mapInPandas(_patches, PATCH_SCHEMA)

@@ -331,3 +331,28 @@ def test_equalize_matches_numpy_reference(spark):
         "image_id string, bytes binary, fmt string, w int, h int")
     r = equalize(fdf).collect()[0]
     assert not I.decode(bytes(r["eq"]), r["fmt"], 3, 3).any()
+
+
+@pytest.mark.spark
+def test_extract_patches_spark_end_to_end(spark):
+    """Patches reassemble exactly to the cropped source image; grid keys
+    cover the full (h//p, w//p) grid; sub-patch images emit nothing."""
+    from mvt_wrangler_spark.operators.multimodal import extract_patches
+
+    df = I.synthetic_images(spark, 80, with_pixels=True, partitions=3)
+    p = 8
+    out = [r for r in extract_patches(df, patch=p, out_fmt="rawz").collect()]
+    src = {r.image_id: r for r in df.collect()}
+    by_img = {}
+    for r in out:
+        by_img.setdefault(r.image_id, {})[(r.gy, r.gx)] = r
+    assert set(by_img) == {k for k, s in src.items() if s.w >= p and s.h >= p}
+    for k, grid in by_img.items():
+        s = src[k]
+        gh, gw = s.h // p, s.w // p
+        assert set(grid) == {(gy, gx) for gy in range(gh) for gx in range(gw)}
+        px = I.decode(bytes(s.bytes), s.fmt, s.w, s.h)
+        for (gy, gx), r in grid.items():
+            got = I.decode(bytes(r.patch), r.fmt, r.pw, r.ph)
+            assert np.array_equal(
+                got, px[gy * p:(gy + 1) * p, gx * p:(gx + 1) * p, :])
