@@ -1092,6 +1092,33 @@ def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                k=3, bands=4, max_bucket=1000)
 
 
+def q_caption_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal label-noise mining for image+caption training rows: find
+    pairs whose IMAGES are near-identical (bytes -> ahash -> hamming <= 3
+    band pairs, the _ahash_df chain) but whose CAPTIONS disagree (exact
+    5-gram shingle Jaccard < 0.3, integer cross-multiplied — no float).
+    Same-image-different-caption rows are either alt-text noise to drop or
+    caption diversity to keep — either way the pipeline must SEE them;
+    pure near-dup dedup would silently keep one caption at random.
+
+    Captions come from the documents table keyed doc_id = image id mod 500.
+    Plan: the banded hamming join produces the (small) pair set; caption
+    shingle sets attach via two joins on the caption key (broadcast here —
+    pairs and the caption dim are both tiny next to the corpus; at caption
+    scale it's the same equi-join, shuffled); intersection/union are
+    array_intersect/size on the already-distinct sorted shingle arrays."""
+    from mvt_wrangler_spark.operators.dedup import phash_hamming_pairs
+    from mvt_wrangler_spark.operators.multimodal import caption_conflicts
+
+    pairs = (phash_hamming_pairs(_ahash_df(spark, sf_dir), id_col="id",
+                                 phash_col="ahash", k=3, bands=4,
+                                 max_bucket=1000)
+             .withColumn("__ka", F.pmod("id_a", F.lit(500)))
+             .withColumn("__kb", F.pmod("id_b", F.lit(500))))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return caption_conflicts(pairs, docs, shingle=5, num=3, den=10)
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs closed into CLUSTERS — the step pairwise dedup cannot
     skip: image bytes -> ahash -> hamming band pairs (q_image_ahash_neardup)
@@ -1693,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "ann_topk_ivf": q_ann_topk_ivf,
         "image_ahash_neardup": q_image_ahash_neardup,
+        "caption_conflicts": q_caption_conflicts,
         "neardup_clusters": q_neardup_clusters,
         "tile_quantiles": q_tile_quantiles,
         "revenue_by_tile": q_revenue_by_tile,
@@ -2389,6 +2417,29 @@ SELECT id, CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
                      ELSE h END AS BIGINT) AS phash
 FROM __h"""
     ahash_neardup = phash_hamming_sql(ahash_src, k=3, bands=4, max_bucket=1000)
+
+    from mvt_wrangler_spark.operators.dedup import shingle_hashes_sql_expr
+
+    shingle_hashes_sql_expr_5gram = shingle_hashes_sql_expr("text", 5)
+    # cross-modal: the same image pair set joined to caption shingle sets;
+    # list_intersect over the distinct sorted shingle lists = array_intersect
+    caption_conflicts = f"""
+WITH __ap AS ({ahash_neardup}),
+__docs AS (SELECT doc_id,
+                  list_distinct({shingle_hashes_sql_expr_5gram}) AS toks
+           FROM documents),
+__j AS (
+  SELECT p.id_a, p.id_b, p.hamming,
+         CAST(length(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_common,
+         CAST(length(a.toks) + length(b.toks)
+              - length(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_union
+  FROM __ap p
+  JOIN __docs a ON a.doc_id = ((p.id_a % 500) + 500) % 500
+  JOIN __docs b ON b.doc_id = ((p.id_b % 500) + 500) % 500)
+SELECT id_a, id_b, hamming, n_common, n_union,
+       n_common * 10 < n_union * 3 AS conflict
+FROM __j
+"""
     # pairs -> clusters: recursive-CTE reachability closure over the SAME
     # ahash pair query (pair_clusters' large-star/small-star twin)
     from mvt_wrangler_spark.operators.dedup import pair_clusters_sql
@@ -2776,6 +2827,7 @@ FROM {gh_last}"""
         "kmeans_assign": kmeans_sql_oracle,
         "ann_topk_ivf": ann_ivf_oracle,
         "image_ahash_neardup": ahash_neardup,
+        "caption_conflicts": caption_conflicts,
         "neardup_clusters": neardup_clusters,
         "tile_quantiles": tile_quantiles,
         "revenue_by_tile": revenue_by_tile,

@@ -461,3 +461,43 @@ def extract_patches(images_df: DataFrame, patch: int = 8,
 
     cols = ["image_id", "bytes", "fmt", "w", "h"]
     return images_df.select(*cols).mapInPandas(_patches, PATCH_SCHEMA)
+
+
+def caption_conflicts(pairs: DataFrame, captions: DataFrame,
+                      caption_key: str = "doc_id", text_col: str = "text",
+                      shingle: int = 5, num: int = 3, den: int = 10,
+                      broadcast_captions: bool = True) -> DataFrame:
+    """Cross-modal label-noise mining: given image near-dup PAIRS
+    (id_a, id_b, hamming — e.g. phash_hamming_pairs output) and a caption
+    table, flag pairs whose captions' exact shingle Jaccard < num/den.
+
+    Near-identical images with disagreeing captions are either alt-text
+    noise to drop or caption diversity to keep — a pure image dedup would
+    silently keep one caption at random; this surfaces the choice. The
+    caller maps image ids to caption keys beforehand (columns __ka/__kb on
+    the pair rows, or identical ids).
+
+    Plan: two equi-joins of the (small) pair set against per-caption
+    DISTINCT shingle arrays (one Arrow pass), then array_intersect/size
+    column math — integer cross-multiplied threshold, no float. Captions
+    broadcast by default; set broadcast_captions=False at caption scale
+    for plain shuffle joins.
+    """
+    from .dedup import shingle_set_column
+
+    docs = captions.select(F.col(caption_key).alias("__k"),
+                           shingle_set_column(F.col(text_col), shingle)
+                           .alias("__t"))
+    if broadcast_captions:
+        docs = F.broadcast(docs)
+    a = docs.select(F.col("__k").alias("__ka"), F.col("__t").alias("__ta"))
+    b = docs.select(F.col("__k").alias("__kb"), F.col("__t").alias("__tb"))
+    if "__ka" not in pairs.columns:
+        pairs = (pairs.withColumn("__ka", F.col("id_a"))
+                 .withColumn("__kb", F.col("id_b")))
+    common = F.size(F.array_intersect("__ta", "__tb")).cast("long")
+    union = (F.size("__ta") + F.size("__tb")).cast("long") - common
+    return (pairs.join(a, "__ka").join(b, "__kb")
+            .select("id_a", "id_b", "hamming",
+                    common.alias("n_common"), union.alias("n_union"),
+                    (common * den < union * num).alias("conflict")))

@@ -356,3 +356,27 @@ def test_extract_patches_spark_end_to_end(spark):
             got = I.decode(bytes(r.patch), r.fmt, r.pw, r.ph)
             assert np.array_equal(
                 got, px[gy * p:(gy + 1) * p, gx * p:(gx + 1) * p, :])
+
+
+@pytest.mark.spark
+def test_caption_conflicts_hand_computed(spark):
+    """Pair (1,2): same caption -> Jaccard 1, no conflict; pair (1,3):
+    disjoint captions -> Jaccard 0, conflict. Threshold edge: J exactly
+    num/den is NOT a conflict (strict <)."""
+    from mvt_wrangler_spark.operators.multimodal import caption_conflicts
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0), (1, 3, 1)], "id_a long, id_b long, hamming int")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"),
+         (3, "zzzz yyyy xxxx wwww")],
+        "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r for r in
+           caption_conflicts(pairs, docs, shingle=5).collect()}
+    same, diff = got[(1, 2)], got[(1, 3)]
+    assert same.n_common == same.n_union and same.conflict is False
+    assert diff.n_common == 0 and diff.conflict is True
+    # strict threshold: identical sets at num=den -> J = 1 = num/den, kept
+    eq = {(r.id_a, r.id_b): r for r in
+          caption_conflicts(pairs, docs, shingle=5, num=1, den=1).collect()}
+    assert eq[(1, 2)].conflict is False
