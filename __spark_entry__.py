@@ -896,6 +896,65 @@ def q_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id long, gy int, gx int, sum_r long, sum_g long, sum_b long, fp long")
 
 
+def q_augment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic augmentation value-checked end to end: algebraic 24x16
+    images -> real codec bytes -> hash-seeded 16x12 crop + h/v flips
+    (multimodal.augment; parameters are sample_hash codegen columns) ->
+    rawz re-encode; the check decodes the AUGMENTED BYTES into per-channel
+    sums (crop-window evidence — flips are permutations) + a
+    position-weighted fingerprint (orientation evidence) and echoes the
+    parameters. The oracle restates sample_hash, the offset/flip
+    derivation, the source-coordinate permutation, and the qlossy model in
+    SQL — augmentation is reproducible BECAUSE a second engine can
+    recompute it."""
+    import numpy as np
+    import pandas as pd
+
+    from mvt_wrangler_spark.operators import multimodal as M
+    from mvt_wrangler_spark.sources import images as I
+
+    W, H, CW, CH = 24, 16, 16, 12
+    ids = _points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(53)) == 11).distinct()
+
+    def gen(pdfs):
+        fmts = ["raw", "rawz", "qlossy"]
+        for pdf in pdfs:
+            rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
+                px = ((int(i) * 31 + yy * 7 + xx * 13 + cc * 5) % 256).astype(np.uint8)
+                fmt = fmts[int(i) % 3]
+                rows["image_id"].append(str(int(i)))
+                rows["bytes"].append(I.encode(px, fmt))
+                rows["fmt"].append(fmt)
+                rows["w"].append(W)
+                rows["h"].append(H)
+            yield pd.DataFrame(rows)
+
+    imgs = ids.mapInPandas(gen, "image_id string, bytes binary, fmt string, w int, h int")
+    aug = M.augment(imgs, crop_w=CW, crop_h=CH, salt=0, out_fmt="rawz")
+
+    def stats(pdfs):
+        for pdf in pdfs:
+            rows = {"id": [], "hflip": [], "vflip": [], "ox": [], "oy": [],
+                    "sum_r": [], "sum_g": [], "sum_b": [], "fp": []}
+            for row in pdf.itertuples(index=False):
+                t = I.decode(bytes(row.bytes), row.fmt, row.w, row.h).astype(np.int64)
+                zy, zx, cc = np.mgrid[0: row.h, 0: row.w, 0:3]
+                rows["id"].append(int(row.image_id))
+                for k in ("hflip", "vflip", "ox", "oy"):
+                    rows[k].append(int(getattr(row, k)))
+                for col, c in (("sum_r", 0), ("sum_g", 1), ("sum_b", 2)):
+                    rows[col].append(int(t[:, :, c].sum()))
+                rows["fp"].append(int((t * (zy * 29 + zx * 13 + cc * 7 + 1)).sum()
+                                      % 2147483647))
+            yield pd.DataFrame(rows)
+
+    return aug.mapInPandas(
+        stats, "id long, hflip int, vflip int, ox int, oy int, "
+               "sum_r long, sum_g long, sum_b long, fp long")
+
+
 def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Terrain-RGB hillshade value-checked end to end: algebraic DEM tiles
     (elev = (id*13 + y*y*3 + x*x*2 + y*x*5) % 2^20, packed R*65536+G*256+B)
@@ -1714,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "thumb_stats": q_thumb_stats,
         "patch_stats": q_patch_stats,
+        "augment_stats": q_augment_stats,
         "hillshade": q_hillshade,
         "equalize": q_equalize,
         "phash_neardup": q_phash_neardup,
@@ -2318,6 +2378,39 @@ SELECT id, CAST(i // 8 AS INT) AS gy, CAST(j // 8 AS INT) AS gx,
 FROM __ppx GROUP BY 1, 2, 3
 """
 
+    from mvt_wrangler_spark.operators.sampling import sample_hash_sql
+
+    _aug_hash = sample_hash_sql("id", salt=0)
+    augment_stats = f"""
+WITH __pts AS ({POINTS_SQL}),
+__ids AS (SELECT DISTINCT id, CAST(id % 3 AS INT) AS fsel FROM __pts WHERE id % 53 = 11),
+__par AS (
+  SELECT id, fsel,
+         CAST(h & 1 AS INT) AS hflip,
+         CAST((h >> 1) & 1 AS INT) AS vflip,
+         CAST((h >> 2) % 9 AS INT) AS ox,
+         CAST(((h >> 2) // 9) % 5 AS INT) AS oy
+  FROM (SELECT id, fsel, {_aug_hash} AS h FROM __ids)),
+__apx AS (
+  SELECT id, hflip, vflip, ox, oy, y.y AS y, x.x AS x, c.c AS c,
+         oy + CASE WHEN vflip = 1 THEN 11 - y.y ELSE y.y END AS sy,
+         ox + CASE WHEN hflip = 1 THEN 15 - x.x ELSE x.x END AS sx
+  FROM __par, generate_series(0, 11) y(y), generate_series(0, 15) x(x),
+       generate_series(0, 2) c(c)),
+__av AS (
+  SELECT id, hflip, vflip, ox, oy, y, x, c,
+         CASE WHEN id % 3 = 2
+              THEN ((id*31 + sy*7 + sx*13 + c*5) % 256) // 4 * 4 + 2
+              ELSE (id*31 + sy*7 + sx*13 + c*5) % 256 END AS v
+  FROM __apx)
+SELECT id, hflip, vflip, ox, oy,
+       CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+       CAST(sum(v * (y*29 + x*13 + c*7 + 1)) % 2147483647 AS BIGINT) AS fp
+FROM __av GROUP BY 1, 2, 3, 4, 5
+"""
+
     # exact tile-size quantiles: value at rank ceil(q*n/100) with (cnt, x, y)
     # tie-break, integer rank target in both engines
     tile_quantiles = f"""
@@ -2821,6 +2914,7 @@ FROM {gh_last}"""
         "zonal_stats": zonal,
         "thumb_stats": thumb,
         "patch_stats": patch_stats,
+        "augment_stats": augment_stats,
         "hillshade": hillshade,
         "equalize": equalize_sql,
         "phash_neardup": phash_neardup,

@@ -501,3 +501,87 @@ def caption_conflicts(pairs: DataFrame, captions: DataFrame,
             .select("id_a", "id_b", "hamming",
                     common.alias("n_common"), union.alias("n_union"),
                     (common * den < union * num).alias("conflict")))
+
+
+AUGMENT_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
+                  "hflip int, vflip int, ox int, oy int")
+
+
+def augment(images_df: DataFrame, crop_w: int, crop_h: int, salt: int = 0,
+            seed_col: str = None, out_fmt: str = "rawz") -> DataFrame:
+    """Deterministic train-time augmentation: hash-seeded crop + flips.
+
+    Every epoch-0 training pipeline augments images; doing it with rand()
+    makes runs unreproducible and retried tasks produce different bytes.
+    Here the parameters are a pure function of (id, salt) via the engine's
+    sample_hash (vary salt per epoch for fresh-but-reproducible views):
+
+      hflip = h mod 2,   vflip = (h div 2) mod 2,
+      ox    = (h div 4) mod (w - crop_w + 1),
+      oy    = (h div 4 div (w - crop_w + 1)) mod (h - crop_h + 1)
+
+    The parameters are computed as CODEGEN COLUMNS (the hash never runs in
+    Python — the mapInPandas body just applies the crop/flip it is handed,
+    so the SQL twin restates parameters with sample_hash_sql bit-exactly).
+    Crop happens first, flips apply to the cropped window; all three are
+    pixel permutations, so the rawz re-encode is lossless and the output
+    decodes to exactly the permuted source pixels. Images smaller than the
+    crop are dropped (same convention as thumbnail/extract_patches).
+
+    seed_col: long column to hash; defaults to image_id cast to long
+    (fits the engine's numeric-string fixture ids; pass an explicit
+    xxhash64 column for arbitrary string ids).
+    """
+    if crop_w < 1 or crop_h < 1:
+        raise ValueError("crop dims must be >= 1")
+
+    from ..sources import images as I
+    from .sampling import sample_hash
+
+    seed = (F.col(seed_col) if seed_col
+            else F.col("image_id").cast("long"))
+    # filter BEFORE deriving offsets: pmod by a zero/negative range is
+    # undefined (ANSI error) for images smaller than the crop
+    fit = images_df.filter((F.col("w") >= crop_w) & (F.col("h") >= crop_h))
+    tmp = fit.select(
+        "image_id", "bytes", "fmt", "w", "h",
+        sample_hash(seed, salt).alias("__h"),
+        (F.col("w") - F.lit(crop_w) + 1).cast("long").alias("__rx"),
+        (F.col("h") - F.lit(crop_h) + 1).cast("long").alias("__ry"))
+    # pure integer param derivation (shift/pmod/div — codegen, ANSI-safe,
+    # restated 1:1 by sample_hash_sql-based twins)
+    src = tmp.select(
+        "image_id", "bytes", "fmt", "w", "h",
+        F.col("__h").bitwiseAND(F.lit(1)).cast("int").alias("hflip"),
+        F.shiftright(F.col("__h"), 1).bitwiseAND(F.lit(1)).cast("int")
+        .alias("vflip"),
+        F.pmod(F.shiftright(F.col("__h"), 2), F.col("__rx")).cast("int")
+        .alias("ox"),
+        F.pmod(F.expr("shiftright(__h, 2) div __rx"), F.col("__ry"))
+        .cast("int").alias("oy"))
+
+    def _apply(pdfs):
+        for pdf in pdfs:
+            out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt",
+                                   "hflip", "vflip", "ox", "oy")}
+            for row in pdf.itertuples(index=False):
+                if row.bytes is None:
+                    continue
+                px = I.decode(bytes(row.bytes), row.fmt, row.w, row.h)
+                win = px[row.oy: row.oy + crop_h, row.ox: row.ox + crop_w, :]
+                if row.vflip:
+                    win = win[::-1, :, :]
+                if row.hflip:
+                    win = win[:, ::-1, :]
+                out["image_id"].append(row.image_id)
+                out["bytes"].append(I.encode(np.ascontiguousarray(win), out_fmt))
+                out["w"].append(crop_w)
+                out["h"].append(crop_h)
+                out["fmt"].append(out_fmt)
+                out["hflip"].append(row.hflip)
+                out["vflip"].append(row.vflip)
+                out["ox"].append(row.ox)
+                out["oy"].append(row.oy)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(_apply, AUGMENT_SCHEMA)

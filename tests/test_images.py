@@ -380,3 +380,39 @@ def test_caption_conflicts_hand_computed(spark):
     eq = {(r.id_a, r.id_b): r for r in
           caption_conflicts(pairs, docs, shingle=5, num=1, den=1).collect()}
     assert eq[(1, 2)].conflict is False
+
+
+@pytest.mark.spark
+def test_augment_deterministic_crop_flip(spark):
+    """Augmented bytes decode to exactly the permuted source window; params
+    are a pure function of (id, salt): same run twice is identical, a new
+    salt changes some params."""
+    from mvt_wrangler_spark.operators.multimodal import augment
+
+    df = I.synthetic_images(spark, 60, with_pixels=True, partitions=3)
+    # synthetic image_ids are 'img000000017'-style -> not castable to long;
+    # provide a numeric seed column
+    df = df.withColumn("seed", F.xxhash64("image_id"))
+    out1 = {r.image_id: r for r in
+            augment(df, crop_w=8, crop_h=6, salt=0, seed_col="seed").collect()}
+    out2 = {r.image_id: r for r in
+            augment(df, crop_w=8, crop_h=6, salt=0, seed_col="seed").collect()}
+    src = {r.image_id: r for r in df.collect()}
+    assert set(out1) == {k for k, s in src.items() if s.w >= 8 and s.h >= 6}
+    for k, r in out1.items():
+        s = src[k]
+        px = I.decode(bytes(s.bytes), s.fmt, s.w, s.h)
+        win = px[r.oy: r.oy + 6, r.ox: r.ox + 8, :]
+        if r.vflip:
+            win = win[::-1, :, :]
+        if r.hflip:
+            win = win[:, ::-1, :]
+        assert np.array_equal(I.decode(bytes(r.bytes), r.fmt, 8, 6), win)
+        r2 = out2[k]
+        assert (r.hflip, r.vflip, r.ox, r.oy) == (r2.hflip, r2.vflip, r2.ox, r2.oy)
+        assert bytes(r.bytes) == bytes(r2.bytes)
+    out3 = {r.image_id: r for r in
+            augment(df, crop_w=8, crop_h=6, salt=1, seed_col="seed").collect()}
+    assert any((out3[k].hflip, out3[k].vflip, out3[k].ox, out3[k].oy)
+               != (out1[k].hflip, out1[k].vflip, out1[k].ox, out1[k].oy)
+               for k in out1)
