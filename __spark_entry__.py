@@ -1662,6 +1662,30 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "split")
 
 
+def q_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-band join: every (hospital, shop) point pair within 500
+    milli-degrees — the fixed-radius two-table join (ST_DWithin) next to
+    kNN (fixed count) and grid_cluster (self radius). Coordinates are the
+    synth_points integer milli-degrees SHIFTED non-negative (+180000 /
+    +85000 fold into the pmod), eps-grid cell equi-join + 9-stencil probe
+    side, exact integer d² refine — each pair emitted exactly once, no
+    distinct, no cross join."""
+    from mvt_wrangler_spark.operators.joins import dwithin_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber").cast("long")
+    pts = li.select(
+        (ok * 8 + ln).alias("id"),
+        F.pmod(ok * 7919 + ln * 104729, F.lit(360000)).alias("px"),
+        F.pmod(ok * 104729 + ln * 7919, F.lit(170000)).alias("py"),
+        F.pmod(ok + ln, F.lit(6)).alias("k6"))
+    left = (pts.filter(F.col("k6") == 3)
+            .select(F.col("id").alias("a_id"), "px", "py"))
+    right = (pts.filter(F.col("k6") == 4)
+             .select(F.col("id").alias("b_id"), "px", "py"))
+    return dwithin_join(left, right, eps=500)
+
+
 def q_ring_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGC-style ring simplicity check over the geom_measures rings: count
     proper crossings + improper touches between NON-ADJACENT edges of each
@@ -1804,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_valid": q_ring_valid,
         "line_cross": q_line_cross,
         "boilerplate": q_boilerplate,
+        "dwithin_join": q_dwithin_join,
     }
 
 
@@ -2727,6 +2752,18 @@ SELECT doc_id,
 FROM documents
 """
 
+    from mvt_wrangler_spark.operators.joins import dwithin_join_sql
+
+    def _dw_src(k6: int) -> str:
+        return f"""
+SELECT CAST(l_orderkey*8 + l_linenumber AS BIGINT) AS id,
+       ((l_orderkey*7919 + CAST(l_linenumber AS BIGINT)*104729) % 360000 + 360000) % 360000 AS px,
+       ((l_orderkey*104729 + CAST(l_linenumber AS BIGINT)*7919) % 170000 + 170000) % 170000 AS py
+FROM lineitem
+WHERE ((l_orderkey + l_linenumber) % 6 + 6) % 6 = {k6}"""
+
+    dwithin_sql_str = dwithin_join_sql(_dw_src(3), _dw_src(4), eps=500)
+
     from mvt_wrangler_spark.operators.overlay import (
         FLAGS_SQL,
         PROPER_SQL,
@@ -2874,6 +2911,7 @@ FROM {gh_last}"""
         "ring_valid": ring_valid,
         "line_cross": line_cross,
         "boilerplate": boilerplate_sql_str,
+        "dwithin_join": dwithin_sql_str,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

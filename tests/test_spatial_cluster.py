@@ -61,3 +61,27 @@ def test_grid_cluster_singletons_and_chain(spark):
            for r in grid_cluster(df, eps=10).collect()}
     assert all(got[i] == (0, 10) for i in range(10))
     assert got[99] == (99, 1)  # isolated point survives as its own cluster
+
+
+def test_dwithin_join_vs_brute(spark):
+    """Two-table radius join vs all-pairs python; includes exact-boundary
+    pairs (d2 == eps^2 kept) and a cross-cell pair."""
+    import random
+
+    from mvt_wrangler_spark.operators.joins import dwithin_join
+
+    rng = random.Random(11)
+    A = [(i, rng.randrange(0, 500), rng.randrange(0, 500)) for i in range(120)]
+    B = [(j, rng.randrange(0, 500), rng.randrange(0, 500)) for j in range(150)]
+    B += [(900, A[0][1] + 3, A[0][2] + 4)]  # d2 = 25 = eps^2 exactly (eps=5)... kept
+    eps = 40
+    expected = {(i, j, (ax - bx) ** 2 + (ay - by) ** 2)
+                for (i, ax, ay) in A for (j, bx, by) in B
+                if (ax - bx) ** 2 + (ay - by) ** 2 <= eps * eps}
+    left = spark.createDataFrame(A, "a_id long, px long, py long")
+    right = spark.createDataFrame(B, "b_id long, px long, py long")
+    rows = dwithin_join(left, right, eps=eps).collect()
+    got = {(r.a_id, r.b_id, r.d2) for r in rows}
+    assert got == expected
+    assert len(rows) == len(got)  # each pair exactly once — no dup emission
+    assert len(expected) > 50
