@@ -896,6 +896,51 @@ def q_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id long, gy int, gx int, sum_r long, sum_g long, sum_b long, fp long")
 
 
+def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares contour classification over Terrain-RGB DEM tiles
+    (the hillshade fixture: elev = (id*13 + y²*3 + x²*2 + y*x*5) % 2^20
+    packed R*65536+G*256+B, encoded to real raw/rawz/qlossy bytes). The
+    iso-threshold is PER TILE — each tile's base elevation (id*13 % 2^20)
+    + 1700, mid of the intra-tile relief — attached as a codegen column,
+    so every non-quantized tile actually gets cut. Output: cut-cell count,
+    segment count (saddles carry 2), and a position-weighted class
+    fingerprint over the full (h-1)x(w-1) cell grid. The oracle restates
+    elevation (incl. the qlossy per-channel model), the per-tile
+    threshold, the 4-corner classification, and the saddle rule in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from mvt_wrangler_spark.operators import multimodal as M
+    from mvt_wrangler_spark.sources import images as I
+
+    W, H = 24, 16
+    ids = _points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(59)) == 13).distinct()
+
+    def gen(pdfs):
+        fmts = ["raw", "rawz", "qlossy"]
+        for pdf in pdfs:
+            rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                yy, xx = np.mgrid[0:H, 0:W]
+                elev = (int(i) * 13 + yy * yy * 3 + xx * xx * 2 + yy * xx * 5) % (1 << 20)
+                px = np.stack([elev // 65536, (elev // 256) % 256, elev % 256],
+                              axis=-1).astype(np.uint8)
+                fmt = fmts[int(i) % 3]
+                rows["image_id"].append(str(int(i)))
+                rows["bytes"].append(I.encode(px, fmt))
+                rows["fmt"].append(fmt)
+                rows["w"].append(W)
+                rows["h"].append(H)
+            yield pd.DataFrame(rows)
+
+    imgs = ids.mapInPandas(gen, "image_id string, bytes binary, fmt string, w int, h int")
+    dem = imgs.withColumn(
+        "iso", F.pmod(F.col("image_id").cast("long") * 13, F.lit(1 << 20)) + 1700)
+    out = M.contour_cells(dem, threshold_col="iso")
+    return out.select(F.col("image_id").cast("long").alias("id"),
+                      "n_cut", "n_segments", "fp")
+
+
 def q_augment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic augmentation value-checked end to end: algebraic 24x16
     images -> real codec bytes -> hash-seeded 16x12 crop + h/v flips
@@ -1798,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "thumb_stats": q_thumb_stats,
         "patch_stats": q_patch_stats,
         "augment_stats": q_augment_stats,
+        "contour": q_contour,
         "hillshade": q_hillshade,
         "equalize": q_equalize,
         "phash_neardup": q_phash_neardup,
@@ -2405,6 +2451,33 @@ FROM __ppx GROUP BY 1, 2, 3
 
     from mvt_wrangler_spark.operators.sampling import sample_hash_sql
 
+    def _elev_sql(y: str, x: str) -> str:
+        """Terrain-RGB elevation at (y, x) incl. the qlossy channel model."""
+        e = f"((id*13 + ({y})*({y})*3 + ({x})*({x})*2 + ({y})*({x})*5) % 1048576)"
+        r, g, b = f"({e} // 65536)", f"(({e} // 256) % 256)", f"({e} % 256)"
+        return (f"(CASE WHEN id % 3 = 2 THEN ({r}//4*4+2)*65536 + ({g}//4*4+2)*256 + ({b}//4*4+2) "
+                f"ELSE {e} END)")
+
+    _corner = "CASE WHEN {e} > iso THEN 1 ELSE 0 END"
+    contour = f"""
+WITH __pts AS ({POINTS_SQL}),
+__ids AS (SELECT DISTINCT id, (id*13 % 1048576) + 1700 AS iso
+          FROM __pts WHERE id % 59 = 13),
+__cls AS (
+  SELECT id, y.y AS cy, x.x AS cx,
+         8*{_corner.format(e=_elev_sql('y.y', 'x.x'))}
+       + 4*{_corner.format(e=_elev_sql('y.y', 'x.x + 1'))}
+       + 2*{_corner.format(e=_elev_sql('y.y + 1', 'x.x + 1'))}
+       + 1*{_corner.format(e=_elev_sql('y.y + 1', 'x.x'))} AS cls
+  FROM __ids, generate_series(0, 14) y(y), generate_series(0, 22) x(x))
+SELECT id,
+       CAST(sum(CASE WHEN cls NOT IN (0, 15) THEN 1 ELSE 0 END) AS INT) AS n_cut,
+       CAST(sum(CASE WHEN cls IN (0, 15) THEN 0
+                     WHEN cls IN (5, 10) THEN 2 ELSE 1 END) AS INT) AS n_segments,
+       CAST(sum(cls * (cy*29 + cx*13 + 1)) % 2147483647 AS BIGINT) AS fp
+FROM __cls GROUP BY id
+"""
+
     _aug_hash = sample_hash_sql("id", salt=0)
     augment_stats = f"""
 WITH __pts AS ({POINTS_SQL}),
@@ -2953,6 +3026,7 @@ FROM {gh_last}"""
         "thumb_stats": thumb,
         "patch_stats": patch_stats,
         "augment_stats": augment_stats,
+        "contour": contour,
         "hillshade": hillshade,
         "equalize": equalize_sql,
         "phash_neardup": phash_neardup,

@@ -585,3 +585,63 @@ def augment(images_df: DataFrame, crop_w: int, crop_h: int, salt: int = 0,
             yield pd.DataFrame(out)
 
     return src.mapInPandas(_apply, AUGMENT_SCHEMA)
+
+
+CONTOUR_SCHEMA = "image_id string, n_cut int, n_segments int, fp long"
+
+
+def contour_cells(dem_df: DataFrame, threshold: int = None,
+                  threshold_col: str = None) -> DataFrame:
+    """Marching-squares contour classification over Terrain-RGB DEM tiles.
+
+    The vector-contour step of a terrain pipeline: per 2x2 pixel cell,
+    classify the 4 corners against the iso-threshold (class = 8a+4b+2c+1d,
+    corner order a=NW b=NE c=SE d=SW); classes 1..14 are cut by the
+    contour line. Emits per tile: n_cut (cut cells), n_segments (one per
+    cut cell; saddle classes 5/10 carry two — both saddle resolutions
+    agree on the COUNT, so no center-average disambiguation is needed),
+    and a position-weighted class fingerprint over every cell (so the
+    oracle checks the full classification grid, not just totals).
+
+    Elevation is the Mapbox Terrain-RGB packing R*65536 + G*256 + B read
+    from real codec bytes (same fixture contract as `hillshade`). The
+    threshold is per-tile via threshold_col (iso-bands follow each tile's
+    base elevation) or a constant. One mapInPandas pass, pure numpy
+    shifted-view comparisons — no per-pixel Python. Integer compares only:
+    bit-deterministic across engines.
+    """
+    if (threshold is None) == (threshold_col is None):
+        raise ValueError("exactly one of threshold / threshold_col required")
+
+    from ..sources import images as I
+
+    src = dem_df.select(
+        "image_id", "bytes", "fmt", "w", "h",
+        (F.col(threshold_col) if threshold_col else F.lit(threshold))
+        .cast("long").alias("iso_t"))
+
+    def _contour(pdfs):
+        P = 2147483647
+        for pdf in pdfs:
+            out = {k: [] for k in ("image_id", "n_cut", "n_segments", "fp")}
+            for row in pdf.itertuples(index=False):
+                if row.bytes is None:
+                    continue
+                px = I.decode(bytes(row.bytes), row.fmt, row.w, row.h).astype(np.int64)
+                elev = px[:, :, 0] * 65536 + px[:, :, 1] * 256 + px[:, :, 2]
+                above = elev > int(row.iso_t)
+                a = above[:-1, :-1]
+                b = above[:-1, 1:]
+                c = above[1:, 1:]
+                d = above[1:, :-1]
+                cls = 8 * a + 4 * b + 2 * c + 1 * d
+                cut = (cls != 0) & (cls != 15)
+                segs = cut.astype(np.int64) + ((cls == 5) | (cls == 10))
+                cy, cx = np.mgrid[0: cls.shape[0], 0: cls.shape[1]]
+                out["image_id"].append(row.image_id)
+                out["n_cut"].append(int(cut.sum()))
+                out["n_segments"].append(int(segs.sum()))
+                out["fp"].append(int((cls * (cy * 29 + cx * 13 + 1)).sum() % P))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(_contour, CONTOUR_SCHEMA)

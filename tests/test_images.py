@@ -416,3 +416,37 @@ def test_augment_deterministic_crop_flip(spark):
     assert any((out3[k].hflip, out3[k].vflip, out3[k].ox, out3[k].oy)
                != (out1[k].hflip, out1[k].vflip, out1[k].ox, out1[k].oy)
                for k in out1)
+
+
+@pytest.mark.spark
+def test_contour_cells_hand_computed(spark):
+    """Known shapes: a single interior peak cuts the 8 cells around it; a
+    checkerboard 2x2 produces the saddle classes (2 segments per cell)."""
+    from mvt_wrangler_spark.operators.multimodal import contour_cells
+
+    def enc_elev(elev):
+        px = np.stack([elev // 65536, (elev // 256) % 256, elev % 256],
+                      axis=-1).astype(np.uint8)
+        return I.encode(px, "raw")
+
+    # 4x4 DEM, zero everywhere, one peak at (1,2) above iso=10
+    peak = np.zeros((4, 4), dtype=np.int64)
+    peak[1, 2] = 100
+    # 3x3 checkerboard alternating 0/100: every 2x2 cell is a saddle (5/10)
+    cb = np.indices((3, 3)).sum(axis=0) % 2 * 100
+    rows = [("peak", enc_elev(peak), "raw", 4, 4, 10),
+            ("cb", enc_elev(cb), "raw", 3, 3, 10)]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int, iso long")
+    got = {r.image_id: r for r in
+           contour_cells(df, threshold_col="iso").collect()}
+    # peak corner is 'above' in exactly the 4 cells touching (1,2); each is
+    # a single-corner class (1/2/4/8) -> 4 cut cells, 4 segments
+    assert (got["peak"].n_cut, got["peak"].n_segments) == (4, 4)
+    assert (got["cb"].n_cut, got["cb"].n_segments) == (4, 8)  # all saddles
+    # fingerprint replica for the peak grid
+    a = (peak > 10)[:-1, :-1]; b = (peak > 10)[:-1, 1:]
+    c = (peak > 10)[1:, 1:]; d = (peak > 10)[1:, :-1]
+    cls = 8 * a + 4 * b + 2 * c + 1 * d
+    cy, cx = np.mgrid[0:3, 0:3]
+    assert got["peak"].fp == int((cls * (cy * 29 + cx * 13 + 1)).sum() % 2147483647)
