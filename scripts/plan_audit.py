@@ -67,6 +67,14 @@ AUDIT = [
     ("blocklist_scrub", "domain explode + BROADCAST blocklist join + one groupBy(id)"),
     ("curate_e2e", "composed curation gates: per-doc signal aggs joined on doc_id"),
     ("vocab_topk", "token explode + groupBy + TakeOrderedAndProject global top-k"),
+    ("ring_valid", "edge explode + cell-cover self equi-join + distinct + codegen orientation flags"),
+    ("line_cross", "two-layer segment crossing: cell equi-join, no all-pairs stage"),
+    ("boilerplate", "one shingle Arrow pass + doc-frequency WINDOW on shingle key (no self-join)"),
+    ("patch_stats", "decode -> patch grid -> re-encode mapInPandas chain, no shuffle"),
+    ("caption_conflicts", "ahash hamming pairs + two broadcast caption joins + array_intersect"),
+    ("augment_stats", "sample_hash codegen params + crop/flip mapInPandas, no shuffle"),
+    ("dwithin_join", "radius band join: eps-grid equi-join + 9-stencil probe, exactly-once pairs"),
+    ("contour", "DEM decode -> marching-squares cells: one mapInPandas chain, no shuffle"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage:
