@@ -421,6 +421,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.decontaminate(docs.filter(~ev), docs.filter(ev), shingle=8)
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 salient terms by the exact-integer tf-idf surrogate
+    tf * (N - df) (text.tfidf_topk): explode -> tf groupBy -> df window ->
+    1-row broadcast N -> per-doc top-k window, ties broken on term."""
+    from mvt_wrangler_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return T.tfidf_topk(docs, k=5)
+
+
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-boilerplate detection: per doc, distinct 12-gram shingles
     occurring in >= 4 distinct docs (header/footer/template chrome). One
@@ -1875,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_cross": q_line_cross,
         "boilerplate": q_boilerplate,
         "dwithin_join": q_dwithin_join,
+        "tfidf_topk": q_tfidf_topk,
     }
 
 
@@ -2179,6 +2190,9 @@ FROM h
     token_count_sql_str = token_counts_sql("documents")
     boilerplate_sql_str = boilerplate_stats_sql("documents", shingle=12,
                                                 min_docs=4)
+    from mvt_wrangler_spark.operators.text import tfidf_topk_sql
+
+    tfidf_sql_str = tfidf_topk_sql("documents", k=5)
     decontaminate_sql_str = decontaminate_sql(
         "documents", shingle=8, eval_pred="doc_id % 37 = 3")
     repetition_stats_sql_str = repetition_stats_sql("documents")
@@ -2985,6 +2999,7 @@ FROM {gh_last}"""
         "line_cross": line_cross,
         "boilerplate": boilerplate_sql_str,
         "dwithin_join": dwithin_sql_str,
+        "tfidf_topk": tfidf_sql_str,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

@@ -473,3 +473,64 @@ SELECT id AS {id_col},
            AS boilerplate
 FROM __w GROUP BY id
 """
+
+
+def tfidf_topk(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document top-k salient terms by an exact-integer tf-idf
+    surrogate: score = tf * (N - df) where N is the corpus doc count and
+    df the term's document frequency. Monotone in tf and in -df like
+    classic tf·log(N/df), but integer-exact — no log, no float, so the
+    DuckDB twin and any re-run agree bit-for-bit (documented divergence:
+    rankings can differ from log-idf where tf and df trade off).
+
+    Plan: token explode -> ONE groupBy(doc, term) for tf -> df via a
+    window over the term key (no self-join; the boilerplate_stats trick)
+    -> N attached as a 1-row broadcast aggregate (Catalyst folds the
+    trivially-true condition into a 1x1 broadcast-NLJ — the morans_i
+    scalar pattern, not a real cartesian) -> per-doc top-k window ordered
+    (score DESC, term ASC), ties-free and a pure function of the corpus.
+    """
+    from pyspark.sql import Window
+
+    tok = (df.select(id_col, F.explode(_tokens(F.col(text_col))).alias("term"))
+           .filter(F.col("term") != ""))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (tf.withColumn("df", dfreq)
+              .join(F.broadcast(n_docs))
+              .withColumn("score", F.col("tf") * (F.col("__n") - F.col("df"))))
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("score").desc(), F.col("term").asc()))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(id_col, "term", F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"),
+                    F.col("score").cast("long").alias("score"),
+                    F.col("rn").cast("int").alias("rn")))
+
+
+def tfidf_topk_sql(table: str = "documents", k: int = 5,
+                   id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of tfidf_topk."""
+    return rf"""
+WITH __tok AS (
+  SELECT {id_col} AS id,
+         UNNEST(string_split_regex(trim({text_col}), '\s+')) AS term
+  FROM {table}),
+__tf AS (SELECT id, term, count(*) AS tf FROM __tok
+         WHERE term <> '' GROUP BY 1, 2),
+__w AS (SELECT id, term, tf, count(*) OVER (PARTITION BY term) AS df
+        FROM __tf),
+__n AS (SELECT count(*) AS n FROM {table}),
+__s AS (
+  SELECT id, term, tf, df, tf * (n - df) AS score,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY tf * (n - df) DESC, term ASC) AS rn
+  FROM __w, __n)
+SELECT id AS {id_col}, term, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score,
+       CAST(rn AS INT) AS rn
+FROM __s WHERE rn <= {k}
+"""

@@ -254,3 +254,25 @@ def test_boilerplate_stats_hand_computed(spark):
     assert got[0][1] > 0            # template shingles detected
     assert got[3][1] == 0           # unique doc has no corpus-common shingles
     assert got[3][2] is False
+
+
+def test_tfidf_topk_hand_computed(spark):
+    from mvt_wrangler_spark.operators.text import tfidf_topk
+
+    # N=3; "rare" appears only in doc 0 (df=1), "common" in all (df=3)
+    docs = [
+        (0, "rare rare common zz"),
+        (1, "common zz zz"),
+        (2, "common aa"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_id, r.rn): r for r in tfidf_topk(df, k=2).collect()}
+    # doc 0: rare tf=2 df=1 -> 2*(3-1)=4 ; common tf=1 df=3 -> 0 ; zz tf=1 df=2 -> 1
+    assert got[(0, 1)].term == "rare" and got[(0, 1)].score == 4
+    assert got[(0, 2)].term == "zz" and got[(0, 2)].score == 1
+    # doc 1: zz tf=2 df=2 -> 2 beats common 0
+    assert got[(1, 1)].term == "zz" and got[(1, 1)].score == 2
+    # doc 2: aa tf=1 df=1 -> 2 beats common 0; tie-free ordering by term
+    assert got[(2, 1)].term == "aa"
+    assert got[(2, 2)].term == "common"
+    assert len(got) == 6
