@@ -1252,6 +1252,33 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   k=3, bands=4, max_bucket=1000)
 
 
+def q_image_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-curation pipeline composed end to end (the image twin of
+    curate_e2e): bytes -> ahash -> hamming near-dup CLUSTERS -> keep one
+    deterministic representative per cluster -> gate the keeper's caption
+    (token-count window 10..60 and language != 'unk'). Each stage is the
+    same operator its standalone contract query checks; the oracle
+    composes the full recursive-closure SQL with the token/lang twins.
+    This is the query a VLM-corpus builder runs nightly: visual dedup
+    first (captions differ across near-dups — see caption_conflicts),
+    then text-quality gates on the survivor."""
+    from mvt_wrangler_spark.operators import text as T
+    from mvt_wrangler_spark.operators.dedup import hamming_keepers
+
+    keep = hamming_keepers(_ahash_df(spark, sf_dir), id_col="id",
+                           phash_col="ahash", k=3, bands=4, max_bucket=1000)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cap = (T.token_counts(docs).select("doc_id", "n_ws_tokens")
+           .join(T.lang_id(docs).select("doc_id", "lang_pred"), "doc_id"))
+    j = (keep.withColumn("doc_id", F.pmod("id", F.lit(500)))
+         .join(F.broadcast(cap), "doc_id"))
+    kept = (F.col("n_ws_tokens").between(10, 60)
+            & (F.col("lang_pred") != "unk"))
+    return j.select("id", "cluster_size",
+                    F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+                    "lang_pred", kept.alias("kept"))
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-Lloyd k-means over the embeddings table, bit-exact: quantized
     vectors, deterministic min-id init, integer argmin with lowest-centroid
@@ -1861,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "image_ahash_neardup": q_image_ahash_neardup,
         "caption_conflicts": q_caption_conflicts,
+        "image_curate_e2e": q_image_curate_e2e,
         "neardup_clusters": q_neardup_clusters,
         "tile_quantiles": q_tile_quantiles,
         "revenue_by_tile": q_revenue_by_tile,
@@ -2651,6 +2679,31 @@ FROM __j
 
     neardup_clusters = pair_clusters_sql(ahash_neardup)
 
+    # composed image curation: closure keepers -> caption token/lang gates
+    # (the standalone twins wrapped as subqueries; lang CASE inlined below
+    # must stay in sync with the lang_id oracle)
+    image_curate_e2e = rf"""
+SELECT k.id, k.cluster_size, CAST(t.n_ws AS BIGINT) AS n_ws_tokens,
+       l.lang_pred,
+       (t.n_ws BETWEEN 10 AND 60 AND l.lang_pred <> 'unk') AS kept
+FROM (SELECT i.id, coalesce(c.cluster_size, 1) AS cluster_size
+      FROM (SELECT id FROM ({ahash_src})) i
+      LEFT JOIN ({neardup_clusters}) c ON c.member_id = i.id
+      WHERE c.member_id IS NULL OR c.member_id = c.cluster_rep) k
+JOIN (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_ws
+      FROM documents) t
+  ON t.doc_id = ((k.id % 500) + 500) % 500
+JOIN (SELECT doc_id,
+             CASE WHEN en >= 3 THEN 'en' WHEN en >= 1 THEN 'en-ish'
+                  ELSE 'unk' END AS lang_pred
+      FROM (SELECT doc_id,
+                   (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5.0
+                 + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3.0
+                 + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5.0 AS en
+            FROM documents)) l
+  ON l.doc_id = t.doc_id
+"""
+
     from mvt_wrangler_spark.operators.cluster import ann_topk_ivf_sql, kmeans_sql
 
     kmeans_sql_oracle = kmeans_sql(k=4, n_iter=2, quant=100)
@@ -3049,6 +3102,7 @@ FROM {gh_last}"""
         "ann_topk_ivf": ann_ivf_oracle,
         "image_ahash_neardup": ahash_neardup,
         "caption_conflicts": caption_conflicts,
+        "image_curate_e2e": image_curate_e2e,
         "neardup_clusters": neardup_clusters,
         "tile_quantiles": tile_quantiles,
         "revenue_by_tile": revenue_by_tile,
