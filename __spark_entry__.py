@@ -1418,6 +1418,41 @@ def q_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("area2") >= 32)
 
 
+def q_winding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring-winding normalization (force CCW before encode): signed
+    shoelace decides, F.reverse flips — zero shuffle past the ring build.
+    Output pins the BEFORE sign, the flip flag, and position-weighted
+    fingerprints of the AFTER vertex sequence (so a wrong or double
+    reversal breaks the hash); the oracle restates the flip as a reversed
+    position index in the window twin."""
+    from mvt_wrangler_spark.functions import measures as M
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber").cast("long")
+    v = li.select(
+        ok.alias("gkey"), ln.alias("vord"),
+        F.pmod(ok * 7919 + ln * 104729, F.lit(4096)).alias("vx"),
+        F.pmod(ok * 104729 + ln * 7919, F.lit(4096)).alias("vy"))
+    rings = (v.groupBy("gkey")
+             .agg(F.array_sort(F.collect_list(F.struct("vord", "vx", "vy")))
+                  .alias("vs"))
+             .filter(F.size("vs") >= 3)
+             .select("gkey", F.col("vs.vx").alias("xs"),
+                     F.col("vs.vy").alias("ys")))
+    sign = M.shoelace_area2_signed(F.col("xs"), F.col("ys"))
+    out = M.normalize_winding(
+        rings.withColumn("sign_before", F.signum(sign).cast("int")))
+    idx = F.sequence(F.lit(0), F.size("xs") - 1)
+    P = 2147483647
+    fp = lambda arr, m: F.pmod(
+        F.aggregate(
+            F.zip_with(F.col(arr), idx, lambda val, i: val * (i * m + 1)),
+            F.lit(0).cast("long"), lambda acc, t: acc + t),
+        F.lit(P))
+    return out.select("gkey", "sign_before", "was_reversed",
+                      fp("xs", 29).alias("fp_x"), fp("ys", 13).alias("fp_y"))
+
+
 def q_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash-8 + Bing quadkey per point — the two remaining mainstream
     cell systems alongside H3/S2/tile_id. Pure single-pass codegen (bit
@@ -1914,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "dwithin_join": q_dwithin_join,
         "tfidf_topk": q_tfidf_topk,
+        "winding": q_winding,
     }
 
 
@@ -2763,6 +2799,32 @@ SELECT gkey, n_vertices, CAST(abs(a2_signed) AS BIGINT) AS area2, cx_num, cy_num
 FROM __m WHERE abs(a2_signed) >= 32
 """
 
+    winding = f"""
+WITH __v AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS gkey,
+         CAST(l_linenumber AS BIGINT) AS vord,
+         ((l_orderkey*7919 + CAST(l_linenumber AS BIGINT)*104729) % 4096 + 4096) % 4096 AS vx,
+         ((l_orderkey*104729 + CAST(l_linenumber AS BIGINT)*7919) % 4096 + 4096) % 4096 AS vy
+  FROM lineitem),
+__vk AS (SELECT * FROM __v WHERE gkey IN
+         (SELECT gkey FROM __v GROUP BY gkey HAVING count(*) >= 3)),
+{measures_sql('__vk', 'gkey', 'vx', 'vy', 'vord')},
+__r AS (
+  SELECT v.gkey, v.vx, v.vy,
+         row_number() OVER (PARTITION BY v.gkey ORDER BY v.vord) - 1 AS rn,
+         m.n_vertices AS n,
+         CASE WHEN m.a2_signed < 0 THEN 1 ELSE 0 END AS revd,
+         CASE WHEN m.a2_signed > 0 THEN 1 WHEN m.a2_signed < 0 THEN -1
+              ELSE 0 END AS sgn
+  FROM __vk v JOIN __m m ON m.gkey = v.gkey)
+SELECT gkey, CAST(sgn AS INT) AS sign_before, revd = 1 AS was_reversed,
+       CAST(CAST(sum(vx * ((CASE WHEN revd = 1 THEN n - 1 - rn ELSE rn END)*29 + 1)) AS BIGINT)
+            % 2147483647 AS BIGINT) AS fp_x,
+       CAST(CAST(sum(vy * ((CASE WHEN revd = 1 THEN n - 1 - rn ELSE rn END)*13 + 1)) AS BIGINT)
+            % 2147483647 AS BIGINT) AS fp_y
+FROM __r GROUP BY gkey, sgn, revd
+"""
+
     from mvt_wrangler_spark.functions.cells import s2_parent_sql
 
     cover_ctes, cover_last, cover_s2 = s2_cell_sql(level=12, base="__xyz2")
@@ -3053,6 +3115,7 @@ FROM {gh_last}"""
         "boilerplate": boilerplate_sql_str,
         "dwithin_join": dwithin_sql_str,
         "tfidf_topk": tfidf_sql_str,
+        "winding": winding,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

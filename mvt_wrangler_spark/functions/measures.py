@@ -138,3 +138,28 @@ def measures_sql(src: str, key: str, x: str, y: str, ord_col: str) -> str:
     """CTE computing per-group ring measures; exposes __m(gkey, n_vertices,
     a2_signed, cx_num, cy_num, perim2, len2_open, minx, miny, maxx, maxy)."""
     return MEASURES_SQL_TEMPLATE.format(src=src, key=key, x=x, y=y, ord=ord_col)
+
+
+def normalize_winding(rings, xs_col: str = "xs", ys_col: str = "ys",
+                      ccw: bool = True):
+    """Force ring orientation: reverse vertex arrays whose signed shoelace
+    area disagrees with the target (MVT encoders require exterior rings in
+    a fixed winding or fills invert; the reference's geometry walk hands
+    rings to the encoder in decoded order). Adds `was_reversed`; zero-area
+    (degenerate) rings pass through unchanged. Pure codegen: the sign test
+    is the existing integer shoelace, the flip is F.reverse — no shuffle,
+    no Python."""
+    from pyspark.sql import functions as F
+
+    sign = shoelace_area2_signed(F.col(xs_col), F.col(ys_col))
+    rev = (sign < 0) if ccw else (sign > 0)
+    # decide ONCE, then flip both arrays off the materialized flag: reusing
+    # the raw `rev` expression in the second withColumn would re-resolve it
+    # against the already-reversed xs (sign flips -> ys never reverses)
+    flag = F.col("was_reversed")
+    return (rings
+            .withColumn("was_reversed", rev)
+            .withColumn(xs_col, F.when(flag, F.reverse(F.col(xs_col)))
+                        .otherwise(F.col(xs_col)))
+            .withColumn(ys_col, F.when(flag, F.reverse(F.col(ys_col)))
+                        .otherwise(F.col(ys_col))))

@@ -79,3 +79,28 @@ def test_measures_degenerate_collinear(spark):
     r = _measure_df(spark, [[(0, 0), (5, 5), (10, 10)]]).collect()[0]
     assert r.area2 == 0 and r.den == 0
     assert r.perim2 == 50 + 50 + 200
+
+
+def test_normalize_winding_flips_both_arrays(spark):
+    """CW ring reverses BOTH xs and ys (the flip decision must not be
+    re-resolved against the already-reversed xs — regression for the
+    column re-resolution bug); CCW and degenerate rings pass through."""
+    from mvt_wrangler_spark.functions.measures import normalize_winding
+
+    rows = [
+        (0, [0, 10, 10, 0], [0, 0, 10, 10]),   # CCW (y-up signed area > 0)
+        (1, [0, 0, 10, 10], [0, 10, 10, 0]),   # CW -> must reverse
+        (2, [0, 5, 10], [0, 5, 10]),           # collinear, area 0 -> keep
+    ]
+    df = spark.createDataFrame(rows, "gkey long, xs array<long>, ys array<long>")
+    got = {r.gkey: r for r in normalize_winding(df).collect()}
+    assert got[0].was_reversed is False and got[0].xs == [0, 10, 10, 0]
+    assert got[1].was_reversed is True
+    assert got[1].xs == [10, 10, 0, 0] and got[1].ys == [0, 10, 10, 0]
+    # and the reversed ring is now CCW: re-normalizing is a no-op
+    again = {r.gkey: r for r in normalize_winding(
+        df.sparkSession.createDataFrame(
+            [(1, got[1].xs, got[1].ys)],
+            "gkey long, xs array<long>, ys array<long>")).collect()}
+    assert again[1].was_reversed is False
+    assert got[2].was_reversed is False and got[2].xs == [0, 5, 10]
