@@ -1418,6 +1418,27 @@ def q_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("area2") >= 32)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (2 fixed-point iterations) over the
+    customer<->supplier trade graph (distinct pairs via lineitem x orders,
+    symmetric edges; node ids disambiguated as cust*2 / supp*2+1). Every
+    contribution is an integer floor-divide and every update an exact
+    int64 sum — bit-identical across engines and partitionings, unlike
+    float PageRank (operators/graph.py)."""
+    from mvt_wrangler_spark.operators.graph import pagerank_int
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pairs = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+             .select((F.col("o_custkey") * 2).alias("c"),
+                     (F.col("l_suppkey") * 2 + 1).alias("s"))
+             .distinct())
+    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("c").alias("dst"))))
+    return pagerank_int(edges, iters=2)
+
+
 def q_winding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ring-winding normalization (force CCW before encode): signed
     shoelace decides, F.reverse flips — zero shuffle past the ring build.
@@ -1950,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_join": q_dwithin_join,
         "tfidf_topk": q_tfidf_topk,
         "winding": q_winding,
+        "pagerank": q_pagerank,
     }
 
 
@@ -2954,6 +2976,15 @@ SELECT doc_id,
 FROM documents
 """
 
+    from mvt_wrangler_spark.operators.graph import pagerank_int_sql
+
+    _pr_edges = """
+SELECT src, dst FROM (
+  SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+CROSS JOIN LATERAL (VALUES (c, s), (s, c)) AS t(src, dst)"""
+    pagerank_sql_str = pagerank_int_sql(_pr_edges, iters=2)
+
     from mvt_wrangler_spark.operators.joins import dwithin_join_sql
 
     def _dw_src(k6: int) -> str:
@@ -3116,6 +3147,7 @@ FROM {gh_last}"""
         "dwithin_join": dwithin_sql_str,
         "tfidf_topk": tfidf_sql_str,
         "winding": winding,
+        "pagerank": pagerank_sql_str,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

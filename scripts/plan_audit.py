@@ -75,19 +75,26 @@ AUDIT = [
     ("augment_stats", "sample_hash codegen params + crop/flip mapInPandas, no shuffle"),
     ("dwithin_join", "radius band join: eps-grid equi-join + 9-stencil probe, exactly-once pairs"),
     ("contour", "DEM decode -> marching-squares cells: one mapInPandas chain, no shuffle"),
+    ("tfidf_topk", "tf groupBy + term-key window + 1-row broadcast N + per-doc top-k window"),
+    ("image_curate_e2e", "ahash closure keepers (singleton left join) + broadcast caption gates"),
+    ("winding", "shoelace sign + F.reverse flip: one ring-build shuffle, codegen after"),
+    ("pagerank", "2 iterations: edges join (deg, rank) + groupBy(dst) partial agg — no cartesian"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage:
 # morans_i joins two ONE-ROW scalar aggregates on a constant key (Catalyst
 # folds the trivially-true condition into a 1x1 broadcast-NLJ)
-CARTESIAN_OK = {"ann_topk", "morans_i", "hot_tiles"}
+CARTESIAN_OK = {"ann_topk", "morans_i", "hot_tiles", "tfidf_topk"}
 # queries whose plans legitimately contain a SinglePartition exchange:
 # tile_quantiles' is the P-row per-partition OFFSET table (P = shuffle
 # parallelism, input-size independent) — the data rows never pass through it.
 # morans_i produces one global scalar row: the final agg over the already
 # partial-aggregated (<=4^z-row) tile table is a single-partition combine.
 # hot_tiles broadcasts the same 1-row global scalar into the per-tile join.
-SINGLE_PARTITION_OK = {"tile_quantiles", "morans_i", "hot_tiles"}
+SINGLE_PARTITION_OK = {"tile_quantiles", "morans_i", "hot_tiles",
+                       # the 1-row corpus-count N aggregate (broadcast to
+                       # the tf rows — the morans_i scalar pattern)
+                       "tfidf_topk"}
 # widest permitted parquet ReadSchema in an audited plan (column pruning
 # gate: every audited query projects a handful of columns). Per-query
 # overrides for queries that GENUINELY consume more: asof_join reads 5 of

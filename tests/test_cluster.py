@@ -107,3 +107,34 @@ def test_ann_ivf_partial_probe_shape(spark):
     for qid, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 3
+
+
+def test_pagerank_int_vs_python(spark):
+    """Integer PageRank matches a pure-python replica on a small directed
+    graph with a hub, a dangling node, and a cycle."""
+    from collections import defaultdict
+
+    from mvt_wrangler_spark.operators.graph import pagerank_int
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3)]  # 3 is a hub
+    # node 6: dangling receiver only
+    edges.append((3, 6))
+    nodes = sorted({u for e in edges for u in e})
+    SCALE, A_N, A_D, ITERS = 1_000_000, 85, 100, 3
+    out = defaultdict(list)
+    for u, v in edges:
+        out[u].append(v)
+    pr = {n: SCALE for n in nodes}
+    base = SCALE - SCALE * A_N // A_D
+    for _ in range(ITERS):
+        nxt = {n: base for n in nodes}
+        for u, vs in out.items():
+            c = pr[u] * A_N // (A_D * len(vs))
+            for v in vs:
+                nxt[v] += c
+        pr = nxt
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.pr for r in pagerank_int(df, iters=ITERS).collect()}
+    assert got == pr
+    assert got[3] > got[1]          # the hub outranks a cycle member
+    assert got[6] > base            # dangling node still receives
