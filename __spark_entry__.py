@@ -593,6 +593,22 @@ def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("__cells.h3_cell").alias("h3_cell"))
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel view -> click -> purchase per user: greedy
+    first-match walk (earliest view, earliest click strictly after it,
+    earliest purchase after that) with int64-packed (ts, event_id) order
+    keys — one min-aggregate + one user-key join per step
+    (operators/events.py)."""
+    from mvt_wrangler_spark.operators.events import funnel
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          # sparsify: the synthetic fixture gives every user ~13 events per
+          # type, so the unfiltered funnel converts 100% — 1/7 of events
+          # leaves ~2 per (user, type) and all reached levels occur
+          .filter(F.pmod("event_id", F.lit(7)) == 0))
+    return funnel(ev, ["view", "click", "purchase"])
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) — lag + cumulative-sum windows."""
     from pyspark.sql import Window
@@ -1972,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "winding": q_winding,
         "pagerank": q_pagerank,
+        "funnel": q_funnel,
     }
 
 
@@ -2976,6 +2993,12 @@ SELECT doc_id,
 FROM documents
 """
 
+    from mvt_wrangler_spark.operators.events import funnel_sql
+
+    funnel_sql_str = funnel_sql(
+        "(SELECT * FROM events WHERE ((event_id % 7) + 7) % 7 = 0)",
+        ["view", "click", "purchase"])
+
     from mvt_wrangler_spark.operators.graph import pagerank_int_sql
 
     _pr_edges = """
@@ -3148,6 +3171,7 @@ FROM {gh_last}"""
         "tfidf_topk": tfidf_sql_str,
         "winding": winding,
         "pagerank": pagerank_sql_str,
+        "funnel": funnel_sql_str,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

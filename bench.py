@@ -195,7 +195,7 @@ def main() -> None:
         "hot_tiles", "blocklist_scrub", "curate_e2e", "vocab_topk",
         "ring_valid", "line_cross", "boilerplate", "patch_stats",
         "caption_conflicts", "augment_stats", "dwithin_join", "contour",
-        "tfidf_topk", "image_curate_e2e", "winding", "pagerank",
+        "tfidf_topk", "image_curate_e2e", "winding", "pagerank", "funnel",
     ]
     # two readings per query: cold (first run — the round-over-round
     # comparable series, includes codegen/JIT compile) and warm (second run —

@@ -360,3 +360,46 @@ def test_getis_ord_gi_matches_bruteforce(spark):
         assert abs(r["gi_star"] - ref) < 1e-6, (x, y)
     assert got[(0, 0)]["gi_star"] == max(r["gi_star"] for r in got.values())
     assert got[(4, 4)]["gi_star"] < 0
+
+
+def test_funnel_greedy_first_match(spark):
+    """Greedy semantics: step i matches the EARLIEST event strictly after
+    step i-1's match; interleaved other events are ignored; a user whose
+    purchase precedes every click does not convert; same-timestamp ties
+    resolve by event_id."""
+    from datetime import datetime, timezone
+
+    from mvt_wrangler_spark.operators.events import funnel
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+
+    rows = [
+        # user 1: view(1) click(3) purchase(5), noise interleaved -> converts
+        (101, t(1), 1, "view"), (102, t(2), 1, "error"),
+        (103, t(3), 1, "click"), (104, t(4), 1, "view"),
+        (105, t(5), 1, "purchase"),
+        # user 2: purchase BEFORE any click -> reached 2 (view, click), no conv
+        (201, t(1), 2, "purchase"), (202, t(2), 2, "view"),
+        (203, t(3), 2, "click"),
+        # user 3: view then two clicks — greedy takes the EARLIER click
+        (301, t(1), 3, "view"), (302, t(2), 3, "click"),
+        (303, t(4), 3, "click"), (304, t(5), 3, "purchase"),
+        # user 4: same-ts tie — click at ts 1 with ids 402 < 403; both after
+        # view id 400 at the same micros? view ts(0), clicks at t(1)
+        (400, t(0), 4, "view"), (403, t(1), 4, "click"), (402, t(1), 4, "click"),
+        (404, t(2), 4, "purchase"),
+        # user 5: never views -> absent
+        (501, t(1), 5, "click"), (502, t(2), 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.user_id: r for r in
+           funnel(df, ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1].converted is True and got[1].reached == 3
+    assert got[1].dur_us == 4_000_000
+    assert got[2].converted is False and got[2].reached == 2
+    assert got[2].t3_us is None and got[2].dur_us is None
+    assert got[3].t2_us == got[3].t1_us + 1_000_000  # earlier click chosen
+    assert got[4].t2_us is not None and got[4].converted is True
