@@ -609,6 +609,25 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, ["view", "click", "purchase"])
 
 
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination tile flows: consecutive-event tile transitions
+    per user (events located by a deterministic event-id hash, tiles via
+    the real z4 mercator math, packed x*16+y), counted per (from, to).
+    One user-key lag window ordered by the total (ts, event_id) order +
+    one groupBy — operators/events.od_matrix."""
+    from mvt_wrangler_spark.functions import tiling
+    from mvt_wrangler_spark.operators.events import od_matrix
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    lon = (F.pmod(eid * 7919 + uid, F.lit(360000)) - 180000).cast("double") / 1000.0
+    lat = (F.pmod(eid * 104729 + uid, F.lit(170000)) - 85000).cast("double") / 1000.0
+    located = ev.select(
+        "user_id", "ts", "event_id",
+        (tiling.tile_x(lon, 4) * 16 + tiling.tile_y(lat, 4)).alias("tile"))
+    return od_matrix(located)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) — lag + cumulative-sum windows."""
     from pyspark.sql import Window
@@ -1989,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winding": q_winding,
         "pagerank": q_pagerank,
         "funnel": q_funnel,
+        "od_matrix": q_od_matrix,
     }
 
 
@@ -2999,6 +3019,18 @@ FROM documents
         "(SELECT * FROM events WHERE ((event_id % 7) + 7) % 7 = 0)",
         ["view", "click", "purchase"])
 
+    from mvt_wrangler_spark.operators.events import od_matrix_sql
+
+    _od_lon = ("(CAST(((event_id*7919 + user_id) % 360000 + 360000) % 360000"
+               " - 180000 AS DOUBLE) / 1000.0)")
+    _od_lat = ("(CAST(((event_id*104729 + user_id) % 170000 + 170000) % 170000"
+               " - 85000 AS DOUBLE) / 1000.0)")
+    od_src = f"""
+SELECT user_id, ts, event_id,
+       {tile_x_sql(_od_lon, 4)}*16 + {tile_y_sql(_od_lat, 4)} AS tile
+FROM events"""
+    od_matrix_sql_str = od_matrix_sql(od_src)
+
     from mvt_wrangler_spark.operators.graph import pagerank_int_sql
 
     _pr_edges = """
@@ -3172,6 +3204,7 @@ FROM {gh_last}"""
         "winding": winding,
         "pagerank": pagerank_sql_str,
         "funnel": funnel_sql_str,
+        "od_matrix": od_matrix_sql_str,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

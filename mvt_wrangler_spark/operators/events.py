@@ -97,3 +97,52 @@ SELECT id AS {id_col},
             THEN CAST(k{n} // 1000 - k1 // 1000 AS BIGINT) END AS dur_us
 FROM __f1
 {joins}""")
+
+
+def od_matrix(located: DataFrame, id_col: str = "user_id",
+              order_cols: list[str] = ("ts", "event_id"),
+              tile_col: str = "tile",
+              drop_self_loops: bool = False) -> DataFrame:
+    """Origin-destination matrix: counts of CONSECUTIVE tile transitions
+    per user (mobility analytics / tile-to-tile flow for cache priming and
+    region-link weighting). order_cols must be a TOTAL order per user
+    (e.g. (ts, event_id)) — a tied order would make lag() pick an
+    arbitrary predecessor. Output: (tile_from, tile_to, n_trips).
+
+    Plan: one user-key window (lag) + one groupBy(from, to) with map-side
+    combine — no window ever sees more than one user's rows. Self-loops
+    (consecutive events in the same tile) count by default; set
+    drop_self_loops=True for pure movement flows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        *[F.col(c).asc() for c in order_cols])
+    t = (located
+         .withColumn("__from", F.lag(tile_col).over(w))
+         .filter(F.col("__from").isNotNull()))
+    if drop_self_loops:
+        t = t.filter(F.col("__from") != F.col(tile_col))
+    return (t.groupBy(F.col("__from").alias("tile_from"),
+                      F.col(tile_col).alias("tile_to"))
+            .agg(F.count(F.lit(1)).alias("n_trips")))
+
+
+def od_matrix_sql(located_src: str, id_col: str = "user_id",
+                  order_cols: list[str] = ("ts", "event_id"),
+                  tile_col: str = "tile",
+                  drop_self_loops: bool = False) -> str:
+    """DuckDB twin of od_matrix over a source yielding (id, order.., tile)."""
+    self_pred = "AND tf <> tile" if drop_self_loops else ""
+    order = ", ".join(f"{c} ASC" for c in order_cols)
+    return f"""
+WITH __ol AS ({located_src}),
+__ot AS (
+  SELECT lag({tile_col}) OVER (PARTITION BY {id_col} ORDER BY {order}) AS tf,
+         {tile_col} AS tile
+  FROM __ol)
+SELECT tf AS tile_from, tile AS tile_to,
+       CAST(count(*) AS BIGINT) AS n_trips
+FROM __ot WHERE tf IS NOT NULL {self_pred}
+GROUP BY 1, 2
+"""

@@ -403,3 +403,30 @@ def test_funnel_greedy_first_match(spark):
     assert got[2].t3_us is None and got[2].dur_us is None
     assert got[3].t2_us == got[3].t1_us + 1_000_000  # earlier click chosen
     assert got[4].t2_us is not None and got[4].converted is True
+
+
+def test_od_matrix_hand_computed(spark):
+    from datetime import datetime, timezone
+
+    from mvt_wrangler_spark.operators.events import od_matrix
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+
+    rows = [
+        # user 1 path: A -> B -> B -> A  => (A,B) (B,B) (B,A)
+        (1, t(0), 1, "A"), (2, t(1), 1, "B"), (3, t(2), 1, "B"), (4, t(3), 1, "A"),
+        # user 2 path: A -> B  => (A,B)  (cross-user transitions never counted)
+        (5, t(0), 2, "A"), (6, t(1), 2, "B"),
+        # user 3: single event -> no transition
+        (7, t(0), 3, "C"),
+        # user 4: same-ts tie, event_id order decides: B(id 8) then A(id 9)
+        (8, t(5), 4, "B"), (9, t(5), 4, "A"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, tile string")
+    got = {(r.tile_from, r.tile_to): r.n_trips for r in od_matrix(df).collect()}
+    assert got == {("A", "B"): 2, ("B", "B"): 1, ("B", "A"): 2}
+    got2 = {(r.tile_from, r.tile_to): r.n_trips
+            for r in od_matrix(df, drop_self_loops=True).collect()}
+    assert ("B", "B") not in got2 and got2[("A", "B")] == 2
