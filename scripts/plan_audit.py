@@ -79,6 +79,8 @@ AUDIT = [
     ("image_curate_e2e", "ahash closure keepers (singleton left join) + broadcast caption gates"),
     ("winding", "shoelace sign + F.reverse flip: one ring-build shuffle, codegen after"),
     ("pagerank", "2 iterations: edges join (deg, rank) + groupBy(dst) partial agg — no cartesian"),
+    ("funnel", "greedy step walk: one min-agg + one user-key join per step"),
+    ("od_matrix", "one user-key lag window + one groupBy(from, to)"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage:
