@@ -1917,6 +1917,29 @@ def q_line_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.groupBy("a_id").agg(F.count("*").alias("n_cross"))
 
 
+def q_dedup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every member of a near-dup
+    CLUSTER inherits the split of the cluster representative (singletons
+    hash their own id) — the contamination guard without which near-dups
+    of a test document leak into train. Composition: minhash LSH pairs ->
+    pair_clusters -> singleton left join -> assign_split(rep) (all the
+    same operators their standalone queries check; split salt differs
+    from every sampling salt per the assign_split doc)."""
+    from mvt_wrangler_spark.operators import dedup as D
+    from mvt_wrangler_spark.operators import sampling as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = D.minhash_lsh_candidates(docs, num_hashes=16, bands=4,
+                                     shingle=5, max_bucket=1000)
+    cl = D.pair_clusters(pairs)
+    m = (docs.select("doc_id")
+         .join(cl, F.col("doc_id") == F.col("member_id"), "left")
+         .select("doc_id", F.coalesce("cluster_rep", "doc_id").alias("rep")))
+    out = S.assign_split(m, {"train": 0.9, "val": 0.05, "test": 0.05},
+                         id_col="rep", salt=11)
+    return out.select("doc_id", "rep", "split")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full spatial pipeline at sf0.001 -> per-tile stats."""
     return q_pipeline_e2e(spark, "/root/testdata/sf0.001")
@@ -2009,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "funnel": q_funnel,
         "od_matrix": q_od_matrix,
+        "dedup_safe_split": q_dedup_safe_split,
     }
 
 
@@ -2837,6 +2861,17 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
     ann_lsh = ann_topk_lsh_sql(k=5)
 
     minhash_lsh = minhash_lsh_sql(num_hashes=16, bands=4, shingle=5, max_bucket=1000)
+
+    from mvt_wrangler_spark.operators.sampling import assign_split_sql as _as_sql
+
+    _mh_closure = pair_clusters_sql(minhash_lsh)
+    dedup_safe_split = f"""
+SELECT doc_id, rep, {_as_sql({'train': 0.9, 'val': 0.05, 'test': 0.05},
+                             'rep', salt=11)} AS split
+FROM (
+  SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS rep
+  FROM documents d LEFT JOIN ({_mh_closure}) c ON c.member_id = d.doc_id)
+"""
     simhash = ("SELECT doc_id, " + simhash_sql_expr("text", shingle=4)
                + " AS simhash FROM documents")
     embed_lsh = embedding_lsh_sql(quant=100, cos_num=16, cos_den=100)
@@ -3205,6 +3240,7 @@ FROM {gh_last}"""
         "pagerank": pagerank_sql_str,
         "funnel": funnel_sql_str,
         "od_matrix": od_matrix_sql_str,
+        "dedup_safe_split": dedup_safe_split,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

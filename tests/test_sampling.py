@@ -157,3 +157,20 @@ def test_split_thresholds_validation():
         S.split_thresholds({"a": 0.5, "b": 0.4})
     bounds = S.split_thresholds({"a": 0.5, "b": 0.5})
     assert bounds[0][0] == "a" and bounds[-1] == ("b", 2147483647)
+
+
+def test_dedup_safe_split_no_cluster_leakage(spark):
+    """Every near-dup cluster lands entirely in ONE split (the invariant
+    the composition exists for), singletons included, all docs covered."""
+    from collections import defaultdict
+
+    import __spark_entry__ as e
+
+    rows = e.q_dedup_safe_split(spark, "/root/testdata/sf0.001").collect()
+    by_rep = defaultdict(set)
+    for r in rows:
+        by_rep[r.rep].add(r.split)
+    assert all(len(s) == 1 for s in by_rep.values())
+    assert len(rows) == 500                      # every doc assigned
+    assert len({r.split for r in rows}) >= 2     # not one degenerate bucket
+    assert any(len([x for x in rows if x.rep == rep]) > 1 for rep in by_rep)
