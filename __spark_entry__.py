@@ -941,6 +941,42 @@ def q_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id long, gy int, gx int, sum_r long, sum_g long, sum_b long, fp long")
 
 
+def q_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-error audit value-checked end to end: algebraic 24x16
+    images -> real codec bytes -> exact integer SSE + max |err| between
+    the original and its 4x box-down -> nearest-up reconstruction
+    (multimodal.recon_error). The oracle restates pixels (incl. qlossy),
+    block pooling, and the per-pixel squared error in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from mvt_wrangler_spark.operators import multimodal as M
+    from mvt_wrangler_spark.sources import images as I
+
+    W, H = 24, 16
+    ids = _points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(61)) == 17).distinct()
+
+    def gen(pdfs):
+        fmts = ["raw", "rawz", "qlossy"]
+        for pdf in pdfs:
+            rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
+                px = ((int(i) * 31 + yy * 7 + xx * 13 + cc * 5) % 256).astype(np.uint8)
+                fmt = fmts[int(i) % 3]
+                rows["image_id"].append(str(int(i)))
+                rows["bytes"].append(I.encode(px, fmt))
+                rows["fmt"].append(fmt)
+                rows["w"].append(W)
+                rows["h"].append(H)
+            yield pd.DataFrame(rows)
+
+    imgs = ids.mapInPandas(gen, "image_id string, bytes binary, fmt string, w int, h int")
+    out = M.recon_error(imgs, factor=4)
+    return out.select(F.col("image_id").cast("long").alias("id"),
+                      "sse", "max_err")
+
+
 def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares contour classification over Terrain-RGB DEM tiles
     (the hillshade fixture: elev = (id*13 + y²*3 + x²*2 + y*x*5) % 2^20
@@ -1995,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "patch_stats": q_patch_stats,
         "augment_stats": q_augment_stats,
         "contour": q_contour,
+        "recon_error": q_recon_error,
         "hillshade": q_hillshade,
         "equalize": q_equalize,
         "phash_neardup": q_phash_neardup,
@@ -2670,6 +2707,27 @@ SELECT id, hflip, vflip, ox, oy,
 FROM __av GROUP BY 1, 2, 3, 4, 5
 """
 
+    recon_error = f"""
+WITH __pts AS ({POINTS_SQL}),
+__ids AS (SELECT DISTINCT id, CAST(id % 3 AS INT) AS fsel FROM __pts WHERE id % 61 = 17),
+__rpx AS (
+  SELECT id, i.i AS i, j.j AS j, c.c AS c,
+         CASE WHEN fsel = 2
+              THEN ((id*31 + i.i*7 + j.j*13 + c.c*5) % 256) // 4 * 4 + 2
+              ELSE (id*31 + i.i*7 + j.j*13 + c.c*5) % 256 END AS v
+  FROM __ids, generate_series(0, 15) i(i), generate_series(0, 23) j(j),
+       generate_series(0, 2) c(c)),
+__rpool AS (
+  SELECT id, i // 4 AS zy, j // 4 AS zx, c, CAST(sum(v) // 16 AS BIGINT) AS pv
+  FROM __rpx GROUP BY 1, 2, 3, 4)
+SELECT p.id,
+       CAST(sum((p.v - q.pv) * (p.v - q.pv)) AS BIGINT) AS sse,
+       CAST(max(abs(p.v - q.pv)) AS INT) AS max_err
+FROM __rpx p JOIN __rpool q
+  ON q.id = p.id AND q.zy = p.i // 4 AND q.zx = p.j // 4 AND q.c = p.c
+GROUP BY 1
+"""
+
     # exact tile-size quantiles: value at rank ceil(q*n/100) with (cnt, x, y)
     # tie-break, integer rank target in both engines
     tile_quantiles = f"""
@@ -3283,6 +3341,7 @@ FROM {gh_last}"""
         "patch_stats": patch_stats,
         "augment_stats": augment_stats,
         "contour": contour,
+        "recon_error": recon_error,
         "hillshade": hillshade,
         "equalize": equalize_sql,
         "phash_neardup": phash_neardup,

@@ -645,3 +645,45 @@ def contour_cells(dem_df: DataFrame, threshold: int = None,
             yield pd.DataFrame(out)
 
     return src.mapInPandas(_contour, CONTOUR_SCHEMA)
+
+
+RECON_SCHEMA = "image_id string, sse bigint, max_err int"
+
+
+def recon_error(images_df: DataFrame, factor: int = 4) -> DataFrame:
+    """Compression-error audit: per image, the exact integer SSE (and max
+    absolute pixel error) between the original and its box-downsample ->
+    nearest-neighbor-upsample reconstruction at `factor` — the quality
+    number a pipeline checks before committing to a thumbnail/overzoom
+    serving path (PSNR is a log of this; SSE stays integer so both engines
+    agree bit-for-bit; apply the log at presentation time). Images are
+    cropped to the covered grid like `thumbnail`. One mapInPandas pass,
+    pure numpy; sse <= 255² * h * w fits int64 for any real image.
+    """
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    from ..sources import images as I
+
+    def _err(pdfs):
+        for pdf in pdfs:
+            out = {k: [] for k in ("image_id", "sse", "max_err")}
+            for row in pdf.itertuples(index=False):
+                if row.bytes is None:
+                    continue
+                px = I.decode(bytes(row.bytes), row.fmt, row.w, row.h).astype(np.int64)
+                th, tw = row.h // factor, row.w // factor
+                if th == 0 or tw == 0:
+                    continue
+                block = px[: th * factor, : tw * factor, :]
+                pooled = (block.reshape(th, factor, tw, factor, 3)
+                          .sum(axis=(1, 3)) // (factor * factor))
+                recon = np.repeat(np.repeat(pooled, factor, axis=0), factor, axis=1)
+                d = block - recon
+                out["image_id"].append(row.image_id)
+                out["sse"].append(int((d * d).sum()))
+                out["max_err"].append(int(np.abs(d).max()))
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "fmt", "w", "h"]
+    return images_df.select(*cols).mapInPandas(_err, RECON_SCHEMA)

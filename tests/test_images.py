@@ -450,3 +450,24 @@ def test_contour_cells_hand_computed(spark):
     cls = 8 * a + 4 * b + 2 * c + 1 * d
     cy, cx = np.mgrid[0:3, 0:3]
     assert got["peak"].fp == int((cls * (cy * 29 + cx * 13 + 1)).sum() % 2147483647)
+
+
+@pytest.mark.spark
+def test_recon_error_matches_numpy_and_is_zero_for_flat(spark):
+    from mvt_wrangler_spark.operators.multimodal import recon_error
+
+    flat = np.full((8, 8, 3), 200, dtype=np.uint8)
+    grad = I.pixels_for(5, 8, 8)  # varying image -> nonzero error
+    rows = [("flat", I.encode(flat, "raw"), "raw", 8, 8),
+            ("grad", I.encode(grad, "raw"), "raw", 8, 8)]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int")
+    got = {r.image_id: r for r in recon_error(df, factor=4).collect()}
+    assert got["flat"].sse == 0 and got["flat"].max_err == 0
+    px = grad.astype(np.int64)
+    pooled = px.reshape(2, 4, 2, 4, 3).sum(axis=(1, 3)) // 16
+    recon = np.repeat(np.repeat(pooled, 4, axis=0), 4, axis=1)
+    d = px - recon
+    assert got["grad"].sse == int((d * d).sum())
+    assert got["grad"].max_err == int(np.abs(d).max())
+    assert got["grad"].sse > 0
