@@ -81,6 +81,8 @@ AUDIT = [
     ("pagerank", "2 iterations: edges join (deg, rank) + groupBy(dst) partial agg — no cartesian"),
     ("funnel", "greedy step walk: one min-agg + one user-key join per step"),
     ("od_matrix", "one user-key lag window + one groupBy(from, to)"),
+    ("recon_error", "decode -> pool -> SSE: one mapInPandas chain, no shuffle"),
+    ("dedup_safe_split", "minhash closure + singleton left join + codegen split CASE"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage:
