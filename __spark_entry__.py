@@ -1953,6 +1953,18 @@ def q_line_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.groupBy("a_id").agg(F.count("*").alias("n_cross"))
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling of the orders table (row/null/exact
+    distinct counts + min/max) in ONE aggregate pass, exploded to
+    per-column rows (operators/profile.py; float columns rejected by
+    design — engine string forms differ)."""
+    from mvt_wrangler_spark.operators.profile import profile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profile(orders, ["o_orderkey", "o_custkey", "o_orderstatus",
+                            "o_orderdate", "o_orderpriority"])
+
+
 def q_dedup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test assignment: every member of a near-dup
     CLUSTER inherits the split of the cluster representative (singletons
@@ -2070,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "od_matrix": q_od_matrix,
         "dedup_safe_split": q_dedup_safe_split,
+        "profile": q_profile,
     }
 
 
@@ -2920,6 +2933,12 @@ SELECT doc_id, CAST(list_sum(terms) % 2147483647 AS BIGINT) AS fingerprint FROM 
 
     minhash_lsh = minhash_lsh_sql(num_hashes=16, bands=4, shingle=5, max_bucket=1000)
 
+    from mvt_wrangler_spark.operators.profile import profile_sql
+
+    profile_sql_str = profile_sql(
+        "orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_orderdate", "o_orderpriority"])
+
     from mvt_wrangler_spark.operators.sampling import assign_split_sql as _as_sql
 
     _mh_closure = pair_clusters_sql(minhash_lsh)
@@ -3299,6 +3318,7 @@ FROM {gh_last}"""
         "funnel": funnel_sql_str,
         "od_matrix": od_matrix_sql_str,
         "dedup_safe_split": dedup_safe_split,
+        "profile": profile_sql_str,
         "sessionize": sessionize,
         "quality_score": quality,
         "distinct_phash": distinct_phash,

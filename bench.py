@@ -196,7 +196,7 @@ def main() -> None:
         "ring_valid", "line_cross", "boilerplate", "patch_stats",
         "caption_conflicts", "augment_stats", "dwithin_join", "contour",
         "tfidf_topk", "image_curate_e2e", "winding", "pagerank", "funnel",
-        "od_matrix", "dedup_safe_split", "recon_error",
+        "od_matrix", "dedup_safe_split", "recon_error", "profile",
     ]
     # two readings per query: cold (first run — the round-over-round
     # comparable series, includes codegen/JIT compile) and warm (second run —

@@ -430,3 +430,18 @@ def test_od_matrix_hand_computed(spark):
     got2 = {(r.tile_from, r.tile_to): r.n_trips
             for r in od_matrix(df, drop_self_loops=True).collect()}
     assert ("B", "B") not in got2 and got2[("A", "B")] == 2
+
+
+def test_profile_hand_computed(spark):
+    from mvt_wrangler_spark.operators.profile import profile
+
+    rows = [(1, "a"), (2, None), (2, "b"), (None, "a")]
+    df = spark.createDataFrame(rows, "k long, s string")
+    got = {r.column: r for r in profile(df, ["k", "s"]).collect()}
+    assert (got["k"].n, got["k"].n_null, got["k"].n_distinct) == (4, 1, 2)
+    assert (got["k"].min_s, got["k"].max_s) == ("1", "2")
+    assert (got["s"].n, got["s"].n_null, got["s"].n_distinct) == (4, 1, 2)
+    assert (got["s"].min_s, got["s"].max_s) == ("a", "b")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        profile(df.withColumn("f", df.k * 1.5), ["f"])
