@@ -83,6 +83,7 @@ AUDIT = [
     ("od_matrix", "one user-key lag window + one groupBy(from, to)"),
     ("recon_error", "decode -> pool -> SSE: one mapInPandas chain, no shuffle"),
     ("dedup_safe_split", "minhash closure + singleton left join + codegen split CASE"),
+    ("profile", "one Expand aggregate pass -> 1-row global agg -> per-column explode"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage:
@@ -98,14 +99,21 @@ CARTESIAN_OK = {"ann_topk", "morans_i", "hot_tiles", "tfidf_topk"}
 SINGLE_PARTITION_OK = {"tile_quantiles", "morans_i", "hot_tiles",
                        # the 1-row corpus-count N aggregate (broadcast to
                        # the tf rows — the morans_i scalar pattern)
-                       "tfidf_topk"}
+                       "tfidf_topk",
+                       # profile's final global aggregate is BY DESIGN one
+                       # row (all columns' stats); the partial agg below it
+                       # is distributed
+                       "profile"}
 # widest permitted parquet ReadSchema in an audited plan (column pruning
 # gate: every audited query projects a handful of columns). Per-query
 # overrides for queries that GENUINELY consume more: asof_join reads 5 of
 # events' 6 columns (event_id, ts, user_id, event_type, value) — still
 # pruned (props, the widest column, is dropped).
 MAX_SCAN_COLS = 4
-SCAN_COLS_OK = {"asof_join": 5}
+SCAN_COLS_OK = {"asof_join": 5,
+                # profile GENUINELY consumes all 5 profiled columns —
+                # reading them is the operator, not a pruning miss
+                "profile": 5}
 
 
 def formatted_plan(df) -> str:
