@@ -445,3 +445,23 @@ def test_profile_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         profile(df.withColumn("f", df.k * 1.5), ["f"])
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """Cross-validate the engine's lag+cumsum sessionization against
+    Spark's built-in session_window (gap-merged sessions): same session
+    count, same per-session event counts and start times at sf0.001."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    ours = {(r.user_id, r.session_start): r.n_events
+            for r in e.q_sessionize(spark, "/root/testdata/sf0.001").collect()}
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    native = {(r.user_id, r.start): r.n
+              for r in (ev.groupBy("user_id",
+                                   F.session_window(F.col("ts").cast("timestamp"),
+                                                    "30 minutes").alias("w"))
+                        .agg(F.count(F.lit(1)).alias("n"),
+                             F.min("ts").alias("start"))
+                        .select("user_id", "start", "n")).collect()}
+    assert ours == native and len(ours) > 100
