@@ -133,3 +133,46 @@ def stream_blocklist_hits(doc_stream: DataFrame, blocked: DataFrame,
     doms = extract_domains(doc_stream, id_col=id_col, text_col=text_col)
     b = F.broadcast(blocked.select(F.col("domain")).distinct())
     return doms.join(b, "domain").select(id_col, "domain")
+
+
+def stream_od_transitions(located_stream: DataFrame) -> DataFrame:
+    """Incremental origin-destination transitions: per user, emit one row
+    per CONSECUTIVE tile transition as events arrive, across micro-batch
+    boundaries — the streaming twin of operators/events.od_matrix (which
+    needs the whole history; this keeps only each user's LAST (key, tile)
+    as group state, so state is one row per user regardless of stream
+    length — the opposite end of the state-size spectrum from
+    stream_phash_dedup's growing per-tile sets).
+
+    Input columns: user_id, k (int64 total order — the packed
+    (micros, event_id) convention), tile. Rows must arrive in key order
+    per user ACROSS batches for transitions to match the batch operator
+    (within a batch they are sorted here; late cross-batch events would
+    splice wrongly — add a watermark-delayed sort upstream if the source
+    reorders). Output: (user_id, k, tile_from, tile_to).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, k bigint, tile_from bigint, tile_to bigint"
+    state_schema = "last_k bigint, last_tile bigint"
+
+    def _trans(key, pdfs, state: GroupState):
+        (uid,) = key
+        last = state.get if state.exists else None
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("k", kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                if last is not None:
+                    outs.append((uid, int(row.k), int(last[1]), int(row.tile)))
+                last = (int(row.k), int(row.tile))
+        if last is not None:
+            state.update(last)
+        if outs:
+            yield pd.DataFrame(outs, columns=["user_id", "k",
+                                              "tile_from", "tile_to"])
+
+    return located_stream.groupBy("user_id").applyInPandasWithState(
+        _trans, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)

@@ -123,3 +123,43 @@ def test_stream_blocklist_hits_matches_batch(spark, tmp_path):
     assert {d for d, _ in got} == flagged
     assert all(dom in ("dom1.com", "dom3.com") for _, dom in got)
     assert flagged == {i for i in range(40) if i % 5 and i % 4 in (1, 3)}
+
+
+@pytest.mark.spark
+def test_stream_od_transitions_matches_batch(spark, tmp_path):
+    """Two micro-batches of per-user movement emit exactly the transitions
+    the batch od_matrix computes on the union — including the SPLICE
+    transition between the last event of batch 0 and the first of batch 1
+    (the row only group state can produce)."""
+    from collections import Counter
+
+    src = str(tmp_path / "odsrc")
+    # user u: tiles 1,2 in batch 0 then 2,3 in batch 1 (keys ordered across
+    # batches); user v: single event per batch -> exactly one spliced row
+    rows0 = [(7, 10, 1), (7, 20, 2), (9, 15, 5)]
+    rows1 = [(7, 30, 2), (7, 40, 3), (9, 25, 6)]
+    sch = "user_id long, k long, tile long"
+    spark.createDataFrame(rows0, sch).coalesce(1).write.parquet(f"{src}/f=0")
+    spark.createDataFrame(rows1, sch).coalesce(1).write.parquet(f"{src}/f=1")
+
+    from mvt_wrangler_spark.streaming.stream import stream_od_transitions
+
+    schema = spark.read.parquet(f"{src}/f=0").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/f=*"))
+    q = (stream_od_transitions(stream)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("sod").option("checkpointLocation", str(tmp_path / "odck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = Counter((r.tile_from, r.tile_to)
+                  for r in spark.sql("SELECT * FROM sod").collect())
+
+    from mvt_wrangler_spark.operators.events import od_matrix
+
+    allrows = spark.createDataFrame(rows0 + rows1, sch)
+    batch = {(r.tile_from, r.tile_to): r.n_trips
+             for r in od_matrix(allrows, order_cols=["k"],
+                                tile_col="tile").collect()}
+    assert dict(got) == batch
+    assert got[(2, 2)] == 1 and got[(5, 6)] == 1  # cross-batch splices
