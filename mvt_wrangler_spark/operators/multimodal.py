@@ -15,6 +15,25 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def _decode_or_none(data, fmt, w, h, on_error: str):
+    """Decode, or skip corrupt payloads when on_error='skip'.
+
+    A 10^12-row image table ALWAYS contains some corrupt blobs (truncated
+    uploads, wrong-format rows); with the default on_error='raise' one bad
+    row fails the Spark task (and after retries, the job). Ingest-path
+    operators take on_error='skip' to drop such rows instead — the
+    drop is silent per row by design (count them upstream by comparing
+    output to input cardinality, or run a profile pass)."""
+    from ..sources import images as I
+
+    try:
+        return I.decode(data, fmt, w, h)
+    except Exception:
+        if on_error == "skip":
+            return None
+        raise
+
+
 AUDIO_META_SCHEMA = "media_id string, sample_rate int, n_samples bigint, channels int"
 FRAME_SAMPLE_SCHEMA = (
     "media_id string, frame_idx int, ts_ms bigint, h int, w int, mean_luma double"
@@ -76,7 +95,8 @@ def sample_frames(media_df: DataFrame, every_ms: int = 1000, fps: float = 30.0,
 THUMB_SCHEMA = "image_id string, thumb binary, tw int, th int, fmt string"
 
 
-def thumbnail(images_df: DataFrame, factor: int = 4, out_fmt: str = "rawz") -> DataFrame:
+def thumbnail(images_df: DataFrame, factor: int = 4, out_fmt: str = "rawz",
+              on_error: str = "raise") -> DataFrame:
     """Thumbnail generation: decode -> exact integer box-downsample -> encode.
 
     The resize step a 10^12-image training pipeline runs on every row,
@@ -105,7 +125,10 @@ def thumbnail(images_df: DataFrame, factor: int = 4, out_fmt: str = "rawz") -> D
             for row in pdf.itertuples(index=False):
                 if row.bytes is None:
                     continue
-                px = I.decode(bytes(row.bytes), row.fmt, row.w, row.h)
+                px = _decode_or_none(bytes(row.bytes), row.fmt, row.w, row.h,
+                                     on_error)
+                if px is None:
+                    continue  # corrupt payload, on_error='skip'
                 th, tw = row.h // factor, row.w // factor
                 if th == 0 or tw == 0:
                     continue  # smaller than one block: no thumbnail
@@ -128,7 +151,8 @@ def thumbnail(images_df: DataFrame, factor: int = 4, out_fmt: str = "rawz") -> D
 AHASH_SCHEMA = "image_id string, ahash long"
 
 
-def ahash64(images_df: DataFrame, luma=(1, 2, 1), luma_div: int = 1) -> DataFrame:
+def ahash64(images_df: DataFrame, luma=(1, 2, 1), luma_div: int = 1,
+            on_error: str = "raise") -> DataFrame:
     """64-bit average-hash (aHash) computed from the DECODED pixels — a real
     perceptual hash, unlike the synthetic table's opaque phash column.
 
@@ -155,7 +179,11 @@ def ahash64(images_df: DataFrame, luma=(1, 2, 1), luma_div: int = 1) -> DataFram
             for row in pdf.itertuples(index=False):
                 if row.bytes is None or row.w < 8 or row.h < 8:
                     continue
-                px = I.decode(bytes(row.bytes), row.fmt, row.w, row.h).astype(np.int64)
+                px = _decode_or_none(bytes(row.bytes), row.fmt, row.w, row.h,
+                                     on_error)
+                if px is None:
+                    continue  # corrupt payload, on_error='skip'
+                px = px.astype(np.int64)
                 zh, zw = row.h // 8, row.w // 8
                 lum = (px[: zh * 8, : zw * 8, 0] * lr
                        + px[: zh * 8, : zw * 8, 1] * lg

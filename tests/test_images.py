@@ -471,3 +471,24 @@ def test_recon_error_matches_numpy_and_is_zero_for_flat(spark):
     assert got["grad"].sse == int((d * d).sum())
     assert got["grad"].max_err == int(np.abs(d).max())
     assert got["grad"].sse > 0
+
+
+@pytest.mark.spark
+def test_corrupt_bytes_on_error_skip(spark):
+    """Default raises (one bad row fails the task); on_error='skip' drops
+    the corrupt row and keeps the rest."""
+    from mvt_wrangler_spark.operators.multimodal import ahash64, thumbnail
+
+    good = I.pixels_for(3, 8, 8)
+    rows = [("ok", I.encode(good, "rawz"), "rawz", 8, 8),
+            ("bad", b"\x00not-zlib\xff", "rawz", 8, 8)]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int")
+    with pytest.raises(Exception, match="zlib|decompress|Python"):
+        thumbnail(df, factor=4).collect()
+    out = thumbnail(df, factor=4, on_error="skip").collect()
+    assert [r.image_id for r in out] == ["ok"]
+    hashes = ahash64(df, on_error="skip").collect()
+    assert [r.image_id for r in hashes] == ["ok"]
+    with pytest.raises(Exception, match="zlib|decompress|Python"):
+        ahash64(df).collect()
