@@ -129,6 +129,19 @@ def q_hot_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.getis_ord_gi(counts)
 
 
+def q_tile_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heatmap smoothing of zoom-8 tile counts with the 5x5 binomial
+    kernel, run SEPARABLY (two 1-D passes, 10 stencil rows/tile instead of
+    25 — rollup.tile_smooth); the oracle applies the non-separated 2-D
+    kernel, so the factorization itself is what the hash checks."""
+    from mvt_wrangler_spark.functions import tiling
+    from mvt_wrangler_spark.operators import rollup as R
+
+    pts = tiling.assign_tiles(_points(spark, sf_dir), z=8, with_local=False)
+    counts = pts.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    return R.tile_smooth(counts)
+
+
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
@@ -2003,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_stats_salted": q_tile_stats_salted,
         "morans_i": q_morans_i,
         "hot_tiles": q_hot_tiles,
+        "tile_smooth": q_tile_smooth,
         "pip_join": q_pip_join,
         "pip_join_partitioned": q_pip_join_partitioned,
         "intersects_join_partitioned": q_intersects_join_partitioned,
@@ -2177,6 +2191,13 @@ SELECT CAST(n AS BIGINT) AS n_tiles, CAST(s0 AS BIGINT) AS s0,
        END AS morans_i
 FROM __g, __p
 """
+
+    from mvt_wrangler_spark.operators.rollup import tile_smooth_sql
+
+    tile_smooth = tile_smooth_sql(
+        f"SELECT x, y, count(*) AS cnt FROM ("
+        f"WITH {pts} SELECT {tile_x_sql('lon', 8)} AS x, "
+        f"{tile_y_sql('lat', 8)} AS y FROM __pts) __txy GROUP BY 1, 2")
 
     hot_tiles = f"""
 WITH {pts}, {xy},
@@ -3330,6 +3351,7 @@ FROM {gh_last}"""
         "tile_stats_salted": tile_stats,
         "morans_i": morans,
         "hot_tiles": hot_tiles,
+        "tile_smooth": tile_smooth,
         "pip_join": pip_join,
         "pip_join_partitioned": pip_join,
         "intersects_join_partitioned": intersects_join,

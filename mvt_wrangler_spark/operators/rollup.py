@@ -184,3 +184,57 @@ def getis_ord_gi(tiles: DataFrame, x_col: str = "x", y_col: str = "y",
                 F.when(den > 0, F.round((sumw - m * w) / den, 6))
                  .alias("gi_star"),
             ))
+
+
+_BINOM5 = [1, 4, 6, 4, 1]  # (1+1)^4 row — integer Gaussian approximation
+
+
+def tile_smooth(tiles: DataFrame, x_col: str = "x", y_col: str = "y",
+                val_col: str = "cnt") -> DataFrame:
+    """Heatmap smoothing of a per-tile value grid with the 5x5 binomial
+    kernel (outer product of [1,4,6,4,1] — the standard integer Gaussian
+    approximation; kernel sum 256, so smooth DIV 256 is the normalized
+    value and the raw integer sum stays exact/orderless for the oracle).
+
+    Scale shape: the kernel is SEPARABLE, so this runs as two 1-D passes
+    (5 offsets + groupBy along x, then along y) — 10 stencil rows per tile
+    instead of 25, and each pass is a map-side-combinable sum keyed on a
+    tile coordinate. Edge tiles simply accumulate fewer taps (no mirroring
+    — heatmaps fade at the border); tiles only reachable from a nonzero
+    neighbor appear with their smoothed spill, matching the dense-kernel
+    definition over an implicit zero grid. Output: (x, y, smooth).
+    """
+    w = F.array(*[F.lit(v) for v in _BINOM5])
+    offs = F.array(*[F.lit(d) for d in (-2, -1, 0, 1, 2)])
+
+    def _pass(df, coord, other, v):
+        z = F.arrays_zip(offs.alias("d"), w.alias("w"))
+        return (df.select(F.col(coord).alias("__c"), F.col(other).alias("__o"),
+                          F.col(v).alias("__v"), F.explode(z).alias("__k"))
+                .select((F.col("__c") + F.col("__k.d")).alias(coord),
+                        F.col("__o").alias(other),
+                        (F.col("__v") * F.col("__k.w")).alias("__t"))
+                .groupBy(coord, other)
+                .agg(F.sum("__t").alias(v)))
+
+    p1 = _pass(tiles.select(x_col, y_col, F.col(val_col).cast("long")
+                            .alias("__s")), x_col, y_col, "__s")
+    p2 = _pass(p1, y_col, x_col, "__s")
+    return p2.select(x_col, y_col, F.col("__s").alias("smooth"))
+
+
+def tile_smooth_sql(src: str, x_col: str = "x", y_col: str = "y",
+                    val_col: str = "cnt") -> str:
+    """DuckDB twin: the NON-separated 5x5 kernel as one double-offset sum —
+    an independent factorization of the same convolution (the Spark plan's
+    separability is exactly what this cross-checks)."""
+    return f"""
+WITH __tsrc AS ({src}),
+__tk AS (SELECT kx.d AS dx, kx.w AS wx, ky.d AS dy, ky.w AS wy
+         FROM (VALUES (-2, 1), (-1, 4), (0, 6), (1, 4), (2, 1)) kx(d, w),
+              (VALUES (-2, 1), (-1, 4), (0, 6), (1, 4), (2, 1)) ky(d, w))
+SELECT t.{x_col} + k.dx AS {x_col}, t.{y_col} + k.dy AS {y_col},
+       CAST(sum(t.{val_col} * k.wx * k.wy) AS BIGINT) AS smooth
+FROM __tsrc t, __tk k
+GROUP BY 1, 2
+"""

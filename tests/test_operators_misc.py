@@ -465,3 +465,23 @@ def test_sessionize_matches_native_session_window(spark):
                              F.min("ts").alias("start"))
                         .select("user_id", "start", "n")).collect()}
     assert ours == native and len(ours) > 100
+
+
+def test_tile_smooth_separable_equals_dense_kernel(spark):
+    """The two-pass separable convolution equals the dense 5x5 binomial
+    kernel applied by brute force over an implicit zero grid."""
+    from collections import defaultdict
+
+    from mvt_wrangler_spark.operators.rollup import _BINOM5, tile_smooth
+
+    rows = [(10, 10, 7), (11, 10, 3), (13, 12, 1), (0, 0, 5)]
+    expected = defaultdict(int)
+    for x, y, c in rows:
+        for dx, wx in zip((-2, -1, 0, 1, 2), _BINOM5):
+            for dy, wy in zip((-2, -1, 0, 1, 2), _BINOM5):
+                expected[(x + dx, y + dy)] += c * wx * wy
+    df = spark.createDataFrame(rows, "x long, y long, cnt long")
+    got = {(r.x, r.y): r.smooth for r in tile_smooth(df).collect()}
+    assert got == dict(expected)
+    # kernel mass conservation: total smooth = 256 * total count
+    assert sum(got.values()) == 256 * sum(c for _, _, c in rows)
