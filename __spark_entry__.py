@@ -1850,6 +1850,23 @@ def q_tile_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id", "x", "y", "nbytes", "shard"))
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-access shard manifest over the tile_shards packing: per row,
+    shard + in-shard sequence number + byte offsets — the loader index for
+    seek-to-sample-k training reads. One key shuffle; the within-shard
+    windows refine the same partitioning (sampling.shard_manifest)."""
+    from mvt_wrangler_spark.functions import tiling
+    from mvt_wrangler_spark.operators import sampling as S
+
+    pts = _points(spark, sf_dir)
+    d = tiling.assign_tiles(pts, z=6, with_local=False)
+    d = d.withColumn("nbytes", F.pmod(F.col("id") * 2654435761, F.lit(8192))
+                     + F.lit(1024))
+    m = S.shard_manifest(d, ["x", "y"], "nbytes", 65536, id_col="id")
+    return m.select("id", "x", "y", "nbytes", "shard", "seq",
+                    "byte_start", "byte_end")
+
+
 def q_spatial_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-radius single-linkage spatial clustering (DBSCAN min_pts=1):
     points collapse into sub-eps cells (same-cell => within eps by
@@ -2017,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "hot_tiles": q_hot_tiles,
         "tile_smooth": q_tile_smooth,
+        "shard_manifest": q_shard_manifest,
         "pip_join": q_pip_join,
         "pip_join_partitioned": q_pip_join_partitioned,
         "intersects_join_partitioned": q_intersects_join_partitioned,
@@ -3295,6 +3313,17 @@ SELECT id, x, y, nbytes,
 FROM __ts
 """
 
+    from mvt_wrangler_spark.operators.sampling import shard_manifest_sql
+
+    _sm_inner = shard_manifest_sql(
+        f"""WITH {pts}
+SELECT id, {tile_x_sql('lon', 6)} AS x, {tile_y_sql('lat', 6)} AS y,
+       ((id * 2654435761) % 8192 + 8192) % 8192 + 1024 AS nbytes
+FROM __pts""",
+        ["x", "y"], "nbytes", 65536, id_col="id")
+    shard_manifest = (f"SELECT id, x, y, nbytes, shard, seq, byte_start, "
+                      f"byte_end FROM ({_sm_inner}) __smf")
+
     from mvt_wrangler_spark.functions.geocodes import geohash_sql, quadkey_sql
 
     gh_ctes, gh_last, gh_expr = geohash_sql("lon", "lat", 8, "__pts")
@@ -3352,6 +3381,7 @@ FROM {gh_last}"""
         "morans_i": morans,
         "hot_tiles": hot_tiles,
         "tile_smooth": tile_smooth,
+        "shard_manifest": shard_manifest,
         "pip_join": pip_join,
         "pip_join_partitioned": pip_join,
         "intersects_join_partitioned": intersects_join,

@@ -168,3 +168,64 @@ def assign_split_sql(fractions: dict[str, float], id_col: str = "id",
     whens = "".join(f" WHEN {h} < {ub} THEN '{name}'"
                     for name, ub in bounds[:-1])
     return f"CASE{whens} ELSE '{bounds[-1][0]}' END"
+
+
+def shard_manifest(df: DataFrame, keys: list[str], size_col: str,
+                   shard_bytes: int, id_col: str = "id") -> DataFrame:
+    """Random-access shard manifest: assign_shards' deterministic packing
+    plus, per row, its sequence number and byte offsets WITHIN its shard —
+    the index a training loader needs to seek straight to sample k of
+    shard s without reading the archive sequentially.
+
+    Columns added: shard (assign_shards), seq (0-based row order inside
+    the shard), byte_start / byte_end (within-shard offsets; end
+    exclusive). Exactness: both cumsums are int64 window sums over the
+    same (group, id) total order, so the manifest is a pure function of
+    the input set — a re-run, a retry, or a different cluster size
+    produces byte-identical manifests (the property that makes resumable
+    multi-epoch training possible).
+
+    Plan: ONE shuffle on the group keys; the shard assignment and both
+    within-shard window passes reuse the same partitioning (no second
+    exchange — shard is a function of the group-ordered cumsum, and the
+    within-shard window partitions by (keys..., shard), a refinement of
+    the same keys).
+    """
+    from pyspark.sql import Window
+
+    with_shards = assign_shards(df, keys, size_col, shard_bytes,
+                                id_col=id_col)
+    w = (Window.partitionBy(*keys, "shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum(size_col).over(w), F.lit(0).cast("long"))
+    ws = Window.partitionBy(*keys, "shard").orderBy(id_col)
+    return (with_shards
+            .withColumn("seq", (F.row_number().over(ws) - 1).cast("long"))
+            .withColumn("byte_start", start)
+            .withColumn("byte_end",
+                        (F.col("byte_start") + F.col(size_col)).cast("long")))
+
+
+def shard_manifest_sql(src: str, keys: list[str], size_col: str,
+                       shard_bytes: int, id_col: str = "id") -> str:
+    """DuckDB twin of shard_manifest over a CTE/subquery `src`."""
+    ks = ", ".join(keys)
+    return f"""
+WITH __sm0 AS (SELECT * FROM ({src}) __smsrc),
+__sm1 AS (
+  SELECT *, CAST(coalesce(sum({size_col}) OVER (
+              PARTITION BY {ks} ORDER BY {id_col}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {shard_bytes} AS BIGINT) AS shard
+  FROM __sm0),
+__sm2 AS (
+  SELECT *,
+         CAST(row_number() OVER w - 1 AS BIGINT) AS seq,
+         CAST(coalesce(sum({size_col}) OVER (
+               PARTITION BY {ks}, shard ORDER BY {id_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS byte_start
+  FROM __sm1
+  WINDOW w AS (PARTITION BY {ks}, shard ORDER BY {id_col}))
+SELECT *, CAST(byte_start + {size_col} AS BIGINT) AS byte_end FROM __sm2
+"""

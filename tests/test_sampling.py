@@ -174,3 +174,32 @@ def test_dedup_safe_split_no_cluster_leakage(spark):
     assert len(rows) == 500                      # every doc assigned
     assert len({r.split for r in rows}) >= 2     # not one degenerate bucket
     assert any(len([x for x in rows if x.rep == rep]) > 1 for rep in by_rep)
+
+
+def test_shard_manifest_offsets(spark):
+    """Manifest invariants: seq is 0..n-1 per shard in id order; byte
+    ranges tile the shard contiguously ([0, s1), [s1, s2), ...); the first
+    row of shard k+1 has group prefix sum >= (k+1)*shard_bytes (the
+    assign_shards boundary rule); a re-run is byte-identical."""
+    from mvt_wrangler_spark.operators.sampling import shard_manifest
+
+    rows = [(i, 1, 1, (i * 2654435761) % 900 + 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x long, y long, nbytes long")
+    out = sorted(shard_manifest(df, ["x", "y"], "nbytes", 1000).collect(),
+                 key=lambda r: r.id)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    total = 0
+    for s, rs in sorted(by_shard.items()):
+        assert [r.seq for r in rs] == list(range(len(rs)))
+        assert rs[0].byte_start == 0
+        for a, b in zip(rs, rs[1:]):
+            assert b.byte_start == a.byte_end
+            assert a.id < b.id
+        if s > 0:
+            assert total >= s * 1000  # prefix sum at shard s's first row
+        total += sum(r.nbytes for r in rs)
+    out2 = sorted(shard_manifest(df, ["x", "y"], "nbytes", 1000).collect(),
+                  key=lambda r: r.id)
+    assert out == out2
