@@ -85,6 +85,7 @@ AUDIT = [
     ("dedup_safe_split", "minhash closure + singleton left join + codegen split CASE"),
     ("profile", "one Expand aggregate pass -> 1-row global agg -> per-column explode"),
     ("tile_smooth", "separable 5x5 binomial: two 1-D explode+groupBy passes (10 taps, not 25)"),
+    ("shard_manifest", "one key shuffle; shard + within-shard windows refine the same partitioning"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage:
