@@ -1850,6 +1850,30 @@ def q_tile_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id", "x", "y", "nbytes", "shard"))
 
 
+def q_rtree_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial index build: features (synthetic integer bboxes around the
+    standard points) Hilbert-packed into 256-feature R-tree leaves keyed
+    by the PMTiles tile id, leaf MBR + count per leaf. The Spark side
+    ranks via the distributed range-partitioner global rank; the oracle
+    uses a plain global row_number — same total order, different plan
+    (operators/index.py)."""
+    from mvt_wrangler_spark.functions import tiling
+    from mvt_wrangler_spark.operators.index import pack_rtree_leaves
+
+    pts = tiling.assign_tiles(_points(spark, sf_dir), z=Z, with_local=False)
+    i = F.col("id")
+    ok2, ln2 = F.expr("id DIV 8"), F.pmod(i, F.lit(8))
+    px = F.pmod(ok2 * 7919 + ln2 * 104729, F.lit(360000))
+    py = F.pmod(ok2 * 104729 + ln2 * 7919, F.lit(170000))
+    w = F.pmod(i * 131 + 7, F.lit(64)) + 1
+    h = F.pmod(i * 52379 + 11, F.lit(64)) + 1
+    feats = pts.select(
+        "id", "tile_id",
+        (px - w).alias("minx"), (py - h).alias("miny"),
+        (px + w).alias("maxx"), (py + h).alias("maxy"))
+    return pack_rtree_leaves(feats, leaf_size=256)
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-access shard manifest over the tile_shards packing: per row,
     shard + in-shard sequence number + byte offsets — the loader index for
@@ -2035,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_tiles": q_hot_tiles,
         "tile_smooth": q_tile_smooth,
         "shard_manifest": q_shard_manifest,
+        "rtree_pack": q_rtree_pack,
         "pip_join": q_pip_join,
         "pip_join_partitioned": q_pip_join_partitioned,
         "intersects_join_partitioned": q_intersects_join_partitioned,
@@ -2145,6 +2170,20 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + ",\n".join([pts, xy] + ctes)
         + f" SELECT id, z, x, y, {tid} AS tile_id FROM {last}"
     )
+
+    from mvt_wrangler_spark.operators.index import pack_rtree_leaves_sql
+
+    _rt_px = "(((id // 8)*7919 + (id % 8)*104729) % 360000 + 360000) % 360000"
+    _rt_py = "(((id // 8)*104729 + (id % 8)*7919) % 170000 + 170000) % 170000"
+    _rt_w = "((id*131 + 7) % 64 + 64) % 64 + 1"
+    _rt_h = "((id*52379 + 11) % 64 + 64) % 64 + 1"
+    rtree_src = (
+        "WITH " + ",\n".join([pts, xy] + ctes)
+        + f""" SELECT id, {tid} AS tile_id,
+       {_rt_px} - ({_rt_w}) AS minx, {_rt_py} - ({_rt_h}) AS miny,
+       {_rt_px} + ({_rt_w}) AS maxx, {_rt_py} + ({_rt_h}) AS maxy
+FROM {last}""")
+    rtree_pack = pack_rtree_leaves_sql(rtree_src, leaf_size=256)
 
     # multi-zoom: same one-Hilbert-pass arithmetic as assign_tiles_multi
     tile_assign_multi = (
@@ -3382,6 +3421,7 @@ FROM {gh_last}"""
         "hot_tiles": hot_tiles,
         "tile_smooth": tile_smooth,
         "shard_manifest": shard_manifest,
+        "rtree_pack": rtree_pack,
         "pip_join": pip_join,
         "pip_join_partitioned": pip_join,
         "intersects_join_partitioned": intersects_join,

@@ -86,6 +86,7 @@ AUDIT = [
     ("profile", "one Expand aggregate pass -> 1-row global agg -> per-column explode"),
     ("tile_smooth", "separable 5x5 binomial: two 1-D explode+groupBy passes (10 taps, not 25)"),
     ("shard_manifest", "one key shuffle; shard + within-shard windows refine the same partitioning"),
+    ("rtree_pack", "range-partitioner global rank (P-row offset table) + leaf groupBy"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage:
@@ -105,7 +106,11 @@ SINGLE_PARTITION_OK = {"tile_quantiles", "morans_i", "hot_tiles",
                        # profile's final global aggregate is BY DESIGN one
                        # row (all columns' stats); the partial agg below it
                        # is distributed
-                       "profile"}
+                       "profile",
+                       # with_global_rank's P-row offset-table window (P =
+                       # shuffle parallelism, input-size independent) — the
+                       # tile_quantiles pattern
+                       "rtree_pack"}
 # widest permitted parquet ReadSchema in an audited plan (column pruning
 # gate: every audited query projects a handful of columns). Per-query
 # overrides for queries that GENUINELY consume more: asof_join reads 5 of

@@ -485,3 +485,34 @@ def test_tile_smooth_separable_equals_dense_kernel(spark):
     assert got == dict(expected)
     # kernel mass conservation: total smooth = 256 * total count
     assert sum(got.values()) == 256 * sum(c for _, _, c in rows)
+
+
+def test_pack_rtree_leaves_properties(spark):
+    """Every leaf except the last holds exactly leaf_size features; MBRs
+    contain all member bboxes; ordering follows the spatial key; packing
+    matches a brute-force sorted replica."""
+    import random
+
+    from mvt_wrangler_spark.operators.index import pack_rtree_leaves
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(1000):
+        x, y = rng.randrange(0, 10000), rng.randrange(0, 10000)
+        w, h = rng.randrange(1, 50), rng.randrange(1, 50)
+        key = (x // 100) * 1000 + y // 100  # coarse spatial key
+        rows.append((i, key, x - w, y - h, x + w, y + h))
+    df = spark.createDataFrame(
+        rows, "id long, tile_id long, minx long, miny long, maxx long, maxy long")
+    B = 64
+    got = {r.leaf: r for r in pack_rtree_leaves(df, leaf_size=B).collect()}
+    srt = sorted(rows, key=lambda r: (r[1], r[0]))
+    for leaf, r in got.items():
+        members = srt[leaf * B:(leaf + 1) * B]
+        assert r.n == len(members)
+        assert r.minx == min(m[2] for m in members)
+        assert r.miny == min(m[3] for m in members)
+        assert r.maxx == max(m[4] for m in members)
+        assert r.maxy == max(m[5] for m in members)
+    assert sorted(got) == list(range((1000 + B - 1) // B))
+    assert all(got[leaf].n == B for leaf in range(1000 // B))
