@@ -1857,8 +1857,16 @@ def q_rtree_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks via the distributed range-partitioner global rank; the oracle
     uses a plain global row_number — same total order, different plan
     (operators/index.py)."""
-    from mvt_wrangler_spark.functions import tiling
     from mvt_wrangler_spark.operators.index import pack_rtree_leaves
+
+    return pack_rtree_leaves(_rtree_feats(spark, sf_dir), leaf_size=256)
+
+
+_RT_QBOX = (100000, 40000, 140000, 80000)  # shared by query + oracle
+
+
+def _rtree_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvt_wrangler_spark.functions import tiling
 
     pts = tiling.assign_tiles(_points(spark, sf_dir), z=Z, with_local=False)
     i = F.col("id")
@@ -1867,11 +1875,21 @@ def q_rtree_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     py = F.pmod(ok2 * 104729 + ln2 * 7919, F.lit(170000))
     w = F.pmod(i * 131 + 7, F.lit(64)) + 1
     h = F.pmod(i * 52379 + 11, F.lit(64)) + 1
-    feats = pts.select(
+    return pts.select(
         "id", "tile_id",
         (px - w).alias("minx"), (py - h).alias("miny"),
         (px + w).alias("maxx"), (py + h).alias("maxy"))
-    return pack_rtree_leaves(feats, leaf_size=256)
+
+
+def q_rtree_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-path bbox query: build leaves, prune by MBR overlap, refine
+    survivors — lossless by construction, and the ORACLE is a direct
+    full-scan bbox filter, so the driver hash proves the pruning loses no
+    feature (operators/index.rtree_probe)."""
+    from mvt_wrangler_spark.operators.index import rtree_probe
+
+    return rtree_probe(_rtree_feats(spark, sf_dir), leaf_size=256,
+                       qbox=_RT_QBOX)
 
 
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2060,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_smooth": q_tile_smooth,
         "shard_manifest": q_shard_manifest,
         "rtree_pack": q_rtree_pack,
+        "rtree_probe": q_rtree_probe,
         "pip_join": q_pip_join,
         "pip_join_partitioned": q_pip_join_partitioned,
         "intersects_join_partitioned": q_intersects_join_partitioned,
@@ -2184,6 +2203,14 @@ def oracle_sql() -> dict[str, str]:
        {_rt_px} + ({_rt_w}) AS maxx, {_rt_py} + ({_rt_h}) AS maxy
 FROM {last}""")
     rtree_pack = pack_rtree_leaves_sql(rtree_src, leaf_size=256)
+    # probe oracle = DIRECT full-scan bbox filter (no index, no leaves):
+    # hash equality proves the Spark index path is lossless
+    _qx0, _qy0, _qx1, _qy1 = _RT_QBOX
+    rtree_probe = f"""
+SELECT id, minx, miny, maxx, maxy FROM ({rtree_src}) __rq
+WHERE minx <= {_qx1} AND maxx >= {_qx0}
+  AND miny <= {_qy1} AND maxy >= {_qy0}
+"""
 
     # multi-zoom: same one-Hilbert-pass arithmetic as assign_tiles_multi
     tile_assign_multi = (
@@ -3422,6 +3449,7 @@ FROM {gh_last}"""
         "tile_smooth": tile_smooth,
         "shard_manifest": shard_manifest,
         "rtree_pack": rtree_pack,
+        "rtree_probe": rtree_probe,
         "pip_join": pip_join,
         "pip_join_partitioned": pip_join,
         "intersects_join_partitioned": intersects_join,

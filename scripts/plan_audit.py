@@ -87,6 +87,7 @@ AUDIT = [
     ("tile_smooth", "separable 5x5 binomial: two 1-D explode+groupBy passes (10 taps, not 25)"),
     ("shard_manifest", "one key shuffle; shard + within-shard windows refine the same partitioning"),
     ("rtree_pack", "range-partitioner global rank (P-row offset table) + leaf groupBy"),
+    ("rtree_probe", "leaf MBR prune (broadcast dim) + exact overlap refine — lossless"),
 ]
 
 # queries whose plans legitimately contain a cartesian/broadcast-NLJ stage:
@@ -110,7 +111,7 @@ SINGLE_PARTITION_OK = {"tile_quantiles", "morans_i", "hot_tiles",
                        # with_global_rank's P-row offset-table window (P =
                        # shuffle parallelism, input-size independent) — the
                        # tile_quantiles pattern
-                       "rtree_pack"}
+                       "rtree_pack", "rtree_probe"}
 # widest permitted parquet ReadSchema in an audited plan (column pruning
 # gate: every audited query projects a handful of columns). Per-query
 # overrides for queries that GENUINELY consume more: asof_join reads 5 of

@@ -516,3 +516,30 @@ def test_pack_rtree_leaves_properties(spark):
         assert r.maxy == max(m[5] for m in members)
     assert sorted(got) == list(range((1000 + B - 1) // B))
     assert all(got[leaf].n == B for leaf in range(1000 // B))
+
+
+def test_rtree_probe_equals_direct_scan_and_prunes(spark):
+    import random
+
+    from mvt_wrangler_spark.operators.index import (assign_rtree_leaves,
+                                                    rtree_probe)
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(800):
+        x, y = rng.randrange(0, 10000), rng.randrange(0, 10000)
+        w, h = rng.randrange(1, 40), rng.randrange(1, 40)
+        rows.append((i, (x // 100) * 1000 + y // 100,
+                     x - w, y - h, x + w, y + h))
+    df = spark.createDataFrame(
+        rows, "id long, tile_id long, minx long, miny long, maxx long, maxy long")
+    q = (2000, 3000, 3500, 4500)
+    got = {r.id for r in rtree_probe(df, leaf_size=32, qbox=q).collect()}
+    direct = {i for (i, _, mnx, mny, mxx, mxy) in rows
+              if mnx <= q[2] and mxx >= q[0] and mny <= q[3] and mxy >= q[1]}
+    assert got == direct and len(direct) > 5
+    # the index actually prunes: surviving leaves < total leaves
+    assigned = assign_rtree_leaves(df, 32)
+    hit_leaves = {r.leaf for r in assigned.collect() if r.id in direct}
+    all_leaves = {r.leaf for r in assigned.collect()}
+    assert len(hit_leaves) < len(all_leaves)
