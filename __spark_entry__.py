@@ -23,6 +23,23 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synth_points(spark, sf_dir)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a tiny id set across the cluster before per-row Python work.
+
+    The image queries derive a few-thousand-row id table via distinct();
+    AQE's partition coalescing sees a few KB and collapses the exchange to
+    ONE partition — which then runs the whole downstream mapInPandas chain
+    (pixel gen, codec, stats) on a single core (measured: every image query
+    executed its Python stages as 1 task at sf0.1). Round-robin repartition
+    with an explicit count is exempt from AQE coalescing (hash repartition
+    is NOT — verified on this Spark build), and the count scales with the
+    session's parallelism rather than a constant, so the fix holds from
+    local[8] to a 1000-executor cluster. 2x parallelism keeps the Python
+    stage balanced when per-row cost varies (codec mix)."""
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism * 2)
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -810,15 +827,15 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvt_wrangler_spark.sources import images as I
 
     W, H = 24, 16
-    ids = _points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(37)) == 3).distinct()
+    ids = _spread(_points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(37)) == 3).distinct())
 
     def gen(pdfs):
         fmts = ["raw", "rawz", "qlossy"]
         for pdf in pdfs:
             rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": [],
                     "z": [], "x": [], "y": []}
+            yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]  # hoisted: per-row mgrid alloc dominated the loop
             for i in pdf["id"].to_numpy(dtype=np.int64):
-                yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
                 px = ((int(i) * 31 + yy * 7 + xx * 13 + cc * 5) % 256).astype(np.uint8)
                 fmt = fmts[int(i) % 3]
                 rows["image_id"].append(str(int(i)))
@@ -858,14 +875,14 @@ def q_thumb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvt_wrangler_spark.sources import images as I
 
     W, H, FCT = 24, 16, 4
-    ids = _points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(41)) == 5).distinct()
+    ids = _spread(_points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(41)) == 5).distinct())
 
     def gen(pdfs):
         fmts = ["raw", "rawz", "qlossy"]
         for pdf in pdfs:
             rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]  # hoisted: per-row mgrid alloc dominated the loop
             for i in pdf["id"].to_numpy(dtype=np.int64):
-                yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
                 px = ((int(i) * 31 + yy * 7 + xx * 13 + cc * 5) % 256).astype(np.uint8)
                 fmt = fmts[int(i) % 3]
                 rows["image_id"].append(str(int(i)))
@@ -878,13 +895,17 @@ def q_thumb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = ids.mapInPandas(gen, "image_id string, bytes binary, fmt string, w int, h int")
     thumbs = M.thumbnail(imgs, factor=FCT, out_fmt="rawz")
 
-    def stats(pdfs):
+    def stats(pdfs, _grids={}):  # per-process mgrid memo (noqa: B006 — intentional)
         n_blk = (H // FCT) * (W // FCT)
         for pdf in pdfs:
             rows = {"id": [], "mean_r": [], "mean_g": [], "mean_b": [], "fp": []}
             for row in pdf.itertuples(index=False):
                 t = I.decode(bytes(row.thumb), row.fmt, row.tw, row.th).astype(np.int64)
-                zy, zx, cc = np.mgrid[0: row.th, 0: row.tw, 0:3]
+                g = _grids.get((row.th, row.tw))
+                if g is None:
+                    g = _grids.setdefault((row.th, row.tw),
+                                          np.mgrid[0:row.th, 0:row.tw, 0:3])
+                zy, zx, cc = g
                 fp = int((t * (zy * 29 + zx * 13 + cc * 7 + 1)).sum() % 2147483647)
                 rows["id"].append(int(row.image_id))
                 for col, c in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
@@ -913,14 +934,14 @@ def q_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvt_wrangler_spark.sources import images as I
 
     W, H, P = 24, 16, 8
-    ids = _points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(47)) == 9).distinct()
+    ids = _spread(_points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(47)) == 9).distinct())
 
     def gen(pdfs):
         fmts = ["raw", "rawz", "qlossy"]
         for pdf in pdfs:
             rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]  # hoisted: per-row mgrid alloc dominated the loop
             for i in pdf["id"].to_numpy(dtype=np.int64):
-                yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
                 px = ((int(i) * 31 + yy * 7 + xx * 13 + cc * 5) % 256).astype(np.uint8)
                 fmt = fmts[int(i) % 3]
                 rows["image_id"].append(str(int(i)))
@@ -933,13 +954,17 @@ def q_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = ids.mapInPandas(gen, "image_id string, bytes binary, fmt string, w int, h int")
     patches = M.extract_patches(imgs, patch=P, out_fmt="rawz")
 
-    def stats(pdfs):
+    def stats(pdfs, _grids={}):  # per-process mgrid memo (noqa: B006 — intentional)
         for pdf in pdfs:
             rows = {"id": [], "gy": [], "gx": [],
                     "sum_r": [], "sum_g": [], "sum_b": [], "fp": []}
             for row in pdf.itertuples(index=False):
                 t = I.decode(bytes(row.patch), row.fmt, row.pw, row.ph).astype(np.int64)
-                zy, zx, cc = np.mgrid[0: row.ph, 0: row.pw, 0:3]
+                g = _grids.get((row.ph, row.pw))
+                if g is None:
+                    g = _grids.setdefault((row.ph, row.pw),
+                                          np.mgrid[0:row.ph, 0:row.pw, 0:3])
+                zy, zx, cc = g
                 rows["id"].append(int(row.image_id))
                 rows["gy"].append(int(row.gy))
                 rows["gx"].append(int(row.gx))
@@ -967,14 +992,14 @@ def q_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvt_wrangler_spark.sources import images as I
 
     W, H = 24, 16
-    ids = _points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(61)) == 17).distinct()
+    ids = _spread(_points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(61)) == 17).distinct())
 
     def gen(pdfs):
         fmts = ["raw", "rawz", "qlossy"]
         for pdf in pdfs:
             rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]  # hoisted: per-row mgrid alloc dominated the loop
             for i in pdf["id"].to_numpy(dtype=np.int64):
-                yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
                 px = ((int(i) * 31 + yy * 7 + xx * 13 + cc * 5) % 256).astype(np.uint8)
                 fmt = fmts[int(i) % 3]
                 rows["image_id"].append(str(int(i)))
@@ -1008,14 +1033,14 @@ def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvt_wrangler_spark.sources import images as I
 
     W, H = 24, 16
-    ids = _points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(59)) == 13).distinct()
+    ids = _spread(_points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(59)) == 13).distinct())
 
     def gen(pdfs):
         fmts = ["raw", "rawz", "qlossy"]
         for pdf in pdfs:
             rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            yy, xx = np.mgrid[0:H, 0:W]  # hoisted: per-row mgrid alloc dominated the loop
             for i in pdf["id"].to_numpy(dtype=np.int64):
-                yy, xx = np.mgrid[0:H, 0:W]
                 elev = (int(i) * 13 + yy * yy * 3 + xx * xx * 2 + yy * xx * 5) % (1 << 20)
                 px = np.stack([elev // 65536, (elev // 256) % 256, elev % 256],
                               axis=-1).astype(np.uint8)
@@ -1053,14 +1078,14 @@ def q_augment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvt_wrangler_spark.sources import images as I
 
     W, H, CW, CH = 24, 16, 16, 12
-    ids = _points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(53)) == 11).distinct()
+    ids = _spread(_points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(53)) == 11).distinct())
 
     def gen(pdfs):
         fmts = ["raw", "rawz", "qlossy"]
         for pdf in pdfs:
             rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]  # hoisted: per-row mgrid alloc dominated the loop
             for i in pdf["id"].to_numpy(dtype=np.int64):
-                yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
                 px = ((int(i) * 31 + yy * 7 + xx * 13 + cc * 5) % 256).astype(np.uint8)
                 fmt = fmts[int(i) % 3]
                 rows["image_id"].append(str(int(i)))
@@ -1073,13 +1098,17 @@ def q_augment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = ids.mapInPandas(gen, "image_id string, bytes binary, fmt string, w int, h int")
     aug = M.augment(imgs, crop_w=CW, crop_h=CH, salt=0, out_fmt="rawz")
 
-    def stats(pdfs):
+    def stats(pdfs, _grids={}):  # per-process mgrid memo (noqa: B006 — intentional)
         for pdf in pdfs:
             rows = {"id": [], "hflip": [], "vflip": [], "ox": [], "oy": [],
                     "sum_r": [], "sum_g": [], "sum_b": [], "fp": []}
             for row in pdf.itertuples(index=False):
                 t = I.decode(bytes(row.bytes), row.fmt, row.w, row.h).astype(np.int64)
-                zy, zx, cc = np.mgrid[0: row.h, 0: row.w, 0:3]
+                g = _grids.get((row.h, row.w))
+                if g is None:
+                    g = _grids.setdefault((row.h, row.w),
+                                          np.mgrid[0:row.h, 0:row.w, 0:3])
+                zy, zx, cc = g
                 rows["id"].append(int(row.image_id))
                 for k in ("hflip", "vflip", "ox", "oy"):
                     rows[k].append(int(getattr(row, k)))
@@ -1111,14 +1140,14 @@ def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvt_wrangler_spark.sources import images as I
 
     W, H = 24, 16
-    ids = _points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(43)) == 7).distinct()
+    ids = _spread(_points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(43)) == 7).distinct())
 
     def gen(pdfs):
         fmts = ["raw", "rawz", "qlossy"]
         for pdf in pdfs:
             rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            yy, xx = np.mgrid[0:H, 0:W]  # hoisted: per-row mgrid alloc dominated the loop
             for i in pdf["id"].to_numpy(dtype=np.int64):
-                yy, xx = np.mgrid[0:H, 0:W]
                 elev = (int(i) * 13 + yy * yy * 3 + xx * xx * 2 + yy * xx * 5) % (1 << 20)
                 px = np.stack([elev // 65536, (elev // 256) % 256, elev % 256],
                               axis=-1).astype(np.uint8)
@@ -1133,12 +1162,16 @@ def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = ids.mapInPandas(gen, "image_id string, bytes binary, fmt string, w int, h int")
     shades = M.hillshade(imgs, shift=4, out_fmt="rawz")
 
-    def stats(pdfs):
+    def stats(pdfs, _grids={}):  # per-process mgrid memo (noqa: B006 — intentional)
         for pdf in pdfs:
             rows = {"id": [], "mean_shade": [], "max_shade": [], "fp": []}
             for row in pdf.itertuples(index=False):
                 t = I.decode(bytes(row.shade), row.fmt, row.tw, row.th).astype(np.int64)
-                zy, zx, cc = np.mgrid[0: row.th, 0: row.tw, 0:3]
+                g = _grids.get((row.th, row.tw))
+                if g is None:
+                    g = _grids.setdefault((row.th, row.tw),
+                                          np.mgrid[0:row.th, 0:row.tw, 0:3])
+                zy, zx, cc = g
                 fp = int((t * (zy * 29 + zx * 13 + cc * 7 + 1)).sum() % 2147483647)
                 rows["id"].append(int(row.image_id))
                 rows["mean_shade"].append(
@@ -1167,14 +1200,14 @@ def q_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvt_wrangler_spark.sources import images as I
 
     W, H = 16, 8
-    ids = _points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(47)) == 9).distinct()
+    ids = _spread(_points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(47)) == 9).distinct())
 
     def gen(pdfs):
         fmts = ["raw", "rawz", "qlossy"]
         for pdf in pdfs:
             rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]  # hoisted: per-row mgrid alloc dominated the loop
             for i in pdf["id"].to_numpy(dtype=np.int64):
-                yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
                 u = (int(i) * 7 + yy * 3 + xx + cc * 5) % 16
                 px = (u * u).astype(np.uint8)  # skewed: 16 clumped levels
                 fmt = fmts[int(i) % 3]
@@ -1188,12 +1221,16 @@ def q_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = ids.mapInPandas(gen, "image_id string, bytes binary, fmt string, w int, h int")
     eq = M.equalize(imgs, out_fmt="rawz")
 
-    def stats(pdfs):
+    def stats(pdfs, _grids={}):  # per-process mgrid memo (noqa: B006 — intentional)
         for pdf in pdfs:
             rows = {"id": [], "mean_eq": [], "fp": []}
             for row in pdf.itertuples(index=False):
                 t = I.decode(bytes(row.eq), row.fmt, row.w, row.h).astype(np.int64)
-                zy, zx, cc = np.mgrid[0: row.h, 0: row.w, 0:3]
+                g = _grids.get((row.h, row.w))
+                if g is None:
+                    g = _grids.setdefault((row.h, row.w),
+                                          np.mgrid[0:row.h, 0:row.w, 0:3])
+                zy, zx, cc = g
                 fp = int((t * (zy * 29 + zx * 13 + cc * 7 + 1)).sum() % 2147483647)
                 rows["id"].append(int(row.image_id))
                 rows["mean_eq"].append(round(float(t.sum()) / (row.h * row.w * 3), 6))
@@ -1249,19 +1286,19 @@ def _ahash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvt_wrangler_spark.sources import images as I
 
     W, H = 24, 16
-    ids = (_points(spark, sf_dir).select("id")
-           .filter((F.pmod("id", F.lit(5)) < 2)
-                   & (F.pmod(F.expr("id div 5"), F.lit(8)) == 0))
-           .distinct())
+    ids = _spread(_points(spark, sf_dir).select("id")
+                  .filter((F.pmod("id", F.lit(5)) < 2)
+                          & (F.pmod(F.expr("id div 5"), F.lit(8)) == 0))
+                  .distinct())
 
     def gen(pdfs):
         fmts = ["raw", "rawz", "qlossy"]
         for pdf in pdfs:
             rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]  # hoisted: per-row mgrid alloc dominated the loop
             for i in pdf["id"].to_numpy(dtype=np.int64):
                 i = int(i)
                 cl, b = i // 5, i % 5
-                yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
                 px = (cl * 31 + yy * 7 + xx * 13 + cc * 5) % 200
                 if b == 1:  # localized bump in one cluster-chosen zone
                     zy0, zx0 = cl % 8, (cl // 8) % 8
@@ -1275,7 +1312,27 @@ def _ahash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     imgs = ids.mapInPandas(gen, "image_id string, bytes binary, fmt string, w int, h int")
-    return ahash64(imgs).select(F.col("image_id").cast("long").alias("id"), "ahash")
+    # Materialize (id, ahash) ONCE per invocation: every consumer
+    # (phash_hamming_pairs' band self-join, sizes agg, star fallback)
+    # references this table 4-6x, and without materialization EACH reference
+    # re-runs the whole scan->distinct->pixel-gen->codec->ahash chain
+    # (observed: 6 copies of the MapInPandas chain in the caption_conflicts
+    # physical plan). The table is (id, ahash) = 16 bytes/row — the guide §8
+    # "small proxy" shape — so one localCheckpoint is cheap at any scale;
+    # phash_hamming_clusters already does the same for its collapsed table.
+    # localCheckpoint, NOT cache(): CacheManager matches by canonicalized
+    # plan, so a cache would survive into the next invocation of the same
+    # query and the warm run would skip the image chain entirely — cross-run
+    # result reuse the bench rules forbid. The checkpoint is re-materialized
+    # on every invocation. repartition-down first: the Python chain runs
+    # wide (_spread), but downstream consumers are slim row-count-bounded
+    # joins, and reading 2x-parallelism checkpoint blocks per reference
+    # costs more task scheduling than the data justifies.
+    par = max(8, spark.sparkContext.defaultParallelism // 4)
+    return (ahash64(imgs)
+            .select(F.col("image_id").cast("long").alias("id"), "ahash")
+            .repartition(par)
+            .localCheckpoint())
 
 
 def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1385,16 +1442,16 @@ def q_bytes_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     W, H = 8, 6
-    ids = (_points(spark, sf_dir).select("id")
-           .filter(F.pmod("id", F.lit(53)) == 11).distinct())
+    ids = _spread(_points(spark, sf_dir).select("id")
+                  .filter(F.pmod("id", F.lit(53)) == 11).distinct())
 
     def gen(pdfs):
         for pdf in pdfs:
             rows = {"id": [], "bytes": []}
+            yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]  # hoisted: per-row mgrid alloc dominated the loop
             for i in pdf["id"].to_numpy(dtype=np.int64):
                 i = int(i)
                 seed = i // 106
-                yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
                 px = ((seed * 37 + yy * 11 + xx * 17 + cc * 23) % 256).astype(np.uint8)
                 rows["id"].append(i)
                 rows["bytes"].append(px.tobytes())
@@ -1696,15 +1753,15 @@ def q_overzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvt_wrangler_spark.sources import images as I
 
     W = H = 16
-    ids = (_points(spark, sf_dir).select("id")
-           .filter(F.pmod("id", F.lit(37)) == 3).distinct())
+    ids = _spread(_points(spark, sf_dir).select("id")
+                  .filter(F.pmod("id", F.lit(37)) == 3).distinct())
 
     def gen(pdfs):
         fmts = ["raw", "rawz", "qlossy"]
         for pdf in pdfs:
             rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]  # hoisted: per-row mgrid alloc dominated the loop
             for i in pdf["id"].to_numpy(dtype=np.int64):
-                yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
                 px = ((int(i) * 31 + yy * 7 + xx * 13 + cc * 5) % 256).astype(np.uint8)
                 fmt = fmts[int(i) % 3]
                 rows["image_id"].append(str(int(i)))
@@ -1718,14 +1775,18 @@ def q_overzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, "image_id string, bytes binary, fmt string, w int, h int")
     children = M.overzoom(imgs, out_fmt="rawz")
 
-    def stats(pdfs):
+    def stats(pdfs, _grids={}):  # per-process mgrid memo (noqa: B006 — intentional)
         for pdf in pdfs:
             rows = {"id": [], "child": [], "sum_r": [], "sum_g": [],
                     "sum_b": [], "fp": []}
             for row in pdf.itertuples(index=False):
                 t = I.decode(bytes(row.cbytes), row.cfmt,
                              row.cw, row.ch).astype(np.int64)
-                zy, zx, cc = np.mgrid[0:row.ch, 0:row.cw, 0:3]
+                g = _grids.get((row.ch, row.cw))
+                if g is None:
+                    g = _grids.setdefault((row.ch, row.cw),
+                                          np.mgrid[0:row.ch, 0:row.cw, 0:3])
+                zy, zx, cc = g
                 fp = int((t * (zy * 29 + zx * 13 + cc * 7 + 1)).sum()
                          % 2147483647)
                 rows["id"].append(int(row.image_id))
@@ -1759,17 +1820,17 @@ def q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvt_wrangler_spark.sources import images as I
 
     W = H = 16
-    ids = (_points(spark, sf_dir).select("id")
-           .filter(F.pmod("id", F.lit(41)) == 5).distinct())
+    ids = _spread(_points(spark, sf_dir).select("id")
+                  .filter(F.pmod("id", F.lit(41)) == 5).distinct())
 
     def gen(pdfs):
         fmts = ["raw", "rawz", "qlossy"]
         for pdf in pdfs:
             rows = {"parent_id": [], "child": [], "bytes": [], "fmt": [],
                     "w": [], "h": []}
+            yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]  # hoisted: per-row mgrid alloc dominated the loop
             for i in pdf["id"].to_numpy(dtype=np.int64):
                 for q in range(4):
-                    yy, xx, cc = np.mgrid[0:H, 0:W, 0:3]
                     px = ((int(i) * 31 + q * 11 + yy * 7 + xx * 13 + cc * 5)
                           % 256).astype(np.uint8)
                     rows["parent_id"].append(str(int(i)))
@@ -1785,14 +1846,18 @@ def q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
              "w int, h int")
     parents = M.mosaic(kids, out_fmt="rawz")
 
-    def stats(pdfs):
+    def stats(pdfs, _grids={}):  # per-process mgrid memo (noqa: B006 — intentional)
         for pdf in pdfs:
             rows = {"id": [], "n_children": [], "sum_r": [], "sum_g": [],
                     "sum_b": [], "fp": []}
             for row in pdf.itertuples(index=False):
                 t = I.decode(bytes(row.pbytes), row.pfmt,
                              row.pw, row.ph).astype(np.int64)
-                zy, zx, cc = np.mgrid[0:row.ph, 0:row.pw, 0:3]
+                g = _grids.get((row.ph, row.pw))
+                if g is None:
+                    g = _grids.setdefault((row.ph, row.pw),
+                                          np.mgrid[0:row.ph, 0:row.pw, 0:3])
+                zy, zx, cc = g
                 fp = int((t * (zy * 29 + zx * 13 + cc * 7 + 1)).sum()
                          % 2147483647)
                 rows["id"].append(int(row.parent_id))

@@ -274,51 +274,68 @@ def mosaic(children_df: DataFrame, out_fmt: str = "rawz") -> DataFrame:
     (ordered by (child, bytes)) are skipped; a duplicate quadrant keeps
     the (child, bytes)-smallest row.
 
-    Scale shape: groupBy(parent_id).applyInPandas — ONE shuffle on the
-    parent key and at most 4 small rows per group, so memory per task is
-    bounded by tile size regardless of corpus size, and the build of a
-    whole pyramid level is embarrassingly parallel across parents.
+    Scale shape: ONE shuffle on the parent key — groupBy(parent_id) with a
+    bounded (<= 4 element) collect_list of the child structs, then a plain
+    mapInPandas over BATCHES of packed parents. The earlier
+    groupBy().applyInPandas form paid one pandas-DataFrame construction +
+    Python dispatch per parent (~10^5 tiny groups at sf0.1, ~10^7 at 100x);
+    packing first amortizes that to one dispatch per Arrow batch while
+    keeping per-task memory bounded by tile size (the list is capped by the
+    4-quadrant key space). Null-bytes children are dropped before the
+    shuffle (the old form dropped them inside the group — a parent with
+    only null children emits no row either way).
     """
     from ..sources import images as I
 
-    def _mo(pdf: pd.DataFrame) -> pd.DataFrame:
-        # group rows arrive in shuffle order — sort by (child, bytes) so the
-        # duplicate-quadrant keep rule is deterministic across runs
-        pdf = pdf[pdf["bytes"].notna()].sort_values(["child", "bytes"])
-        parent = None
-        ph = pw = 0
-        n = 0
-        seen: set[int] = set()
-        for row in pdf.itertuples(index=False):
-            h2, w2 = row.h // 2, row.w // 2
-            if h2 == 0 or w2 == 0:
-                continue
-            if parent is None:
-                ph, pw = h2 * 2, w2 * 2
-                parent = np.zeros((ph, pw, 3), dtype=np.uint8)
-            if ((h2 * 2, w2 * 2) != (ph, pw) or not 0 <= row.child <= 3
-                    or row.child in seen):
-                continue
-            seen.add(row.child)
-            qy, qx = row.child // 2, row.child % 2
-            px = I.decode(bytes(row.bytes), row.fmt, row.w, row.h)
-            down = (px[:h2 * 2, :w2 * 2, :].astype(np.int64)
-                    .reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4)
-            parent[qy * h2:(qy + 1) * h2, qx * w2:(qx + 1) * w2, :] = \
-                down.astype(np.uint8)
-            n += 1
-        if parent is None:
-            return pd.DataFrame({k: [] for k in (
-                "parent_id", "pbytes", "pw", "ph", "pfmt", "n_children")})
-        return pd.DataFrame({
-            "parent_id": [pdf["parent_id"].iloc[0]],
-            "pbytes": [I.encode(parent, out_fmt)],
-            "pw": [pw], "ph": [ph], "pfmt": [out_fmt],
-            "n_children": [n]})
+    def _mo_batch(pdfs):
+        for pdf in pdfs:
+            out = {k: [] for k in (
+                "parent_id", "pbytes", "pw", "ph", "pfmt", "n_children")}
+            for pid, kids in zip(pdf["parent_id"], pdf["__kids"]):
+                # kids arrive sorted by (child, bytes, ...) via array_sort,
+                # so the duplicate-quadrant keep rule stays deterministic
+                parent = None
+                ph = pw = 0
+                n = 0
+                seen: set[int] = set()
+                for kid in kids:
+                    h2, w2 = kid["h"] // 2, kid["w"] // 2
+                    if h2 == 0 or w2 == 0:
+                        continue
+                    if parent is None:
+                        ph, pw = h2 * 2, w2 * 2
+                        parent = np.zeros((ph, pw, 3), dtype=np.uint8)
+                    if ((h2 * 2, w2 * 2) != (ph, pw)
+                            or not 0 <= kid["child"] <= 3
+                            or kid["child"] in seen):
+                        continue
+                    seen.add(kid["child"])
+                    qy, qx = kid["child"] // 2, kid["child"] % 2
+                    px = I.decode(bytes(kid["bytes"]), kid["fmt"],
+                                  kid["w"], kid["h"])
+                    down = (px[:h2 * 2, :w2 * 2, :].astype(np.int64)
+                            .reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4)
+                    parent[qy * h2:(qy + 1) * h2, qx * w2:(qx + 1) * w2, :] \
+                        = down.astype(np.uint8)
+                    n += 1
+                if parent is None:
+                    continue
+                out["parent_id"].append(pid)
+                out["pbytes"].append(I.encode(parent, out_fmt))
+                out["pw"].append(pw)
+                out["ph"].append(ph)
+                out["pfmt"].append(out_fmt)
+                out["n_children"].append(n)
+            yield pd.DataFrame(out)
 
     cols = ["parent_id", "child", "bytes", "fmt", "w", "h"]
-    return (children_df.select(*cols)
-            .groupBy("parent_id").applyInPandas(_mo, MOSAIC_SCHEMA))
+    packed = (children_df.select(*cols)
+              .filter(F.col("bytes").isNotNull())
+              .groupBy("parent_id")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("child", "bytes", "fmt", "w", "h")))
+                  .alias("__kids")))
+    return packed.mapInPandas(_mo_batch, MOSAIC_SCHEMA)
 
 
 HILLSHADE_SCHEMA = "image_id string, shade binary, tw int, th int, fmt string"
@@ -505,11 +522,18 @@ def caption_conflicts(pairs: DataFrame, captions: DataFrame,
     caller maps image ids to caption keys beforehand (columns __ka/__kb on
     the pair rows, or identical ids).
 
-    Plan: two equi-joins of the (small) pair set against per-caption
-    DISTINCT shingle arrays (one Arrow pass), then array_intersect/size
-    column math — integer cross-multiplied threshold, no float. Captions
-    broadcast by default; set broadcast_captions=False at caption scale
-    for plain shuffle joins.
+    Plan: the caption Jaccard is a pure function of the (caption_a,
+    caption_b) KEY pair, so it is computed once per DISTINCT key pair —
+    slim distinct over the pair set, two equi-joins against per-caption
+    DISTINCT shingle arrays (one Arrow pass), array_intersect/size column
+    math (integer cross-multiplied threshold, no float) — and joined back
+    to the full pair set. When many image pairs share a caption pair (the
+    common case: near-dup cliques resolve to few captions; 3.58M image
+    pairs -> 36 key pairs at sf0.1) this removes ~all of the per-pair
+    array work; when keys are unique per image the extra distinct+join is
+    one slim shuffle of the (already small) pair set. Captions broadcast
+    by default; set broadcast_captions=False at caption scale for plain
+    shuffle joins.
     """
     from .dedup import shingle_set_column
 
@@ -525,10 +549,14 @@ def caption_conflicts(pairs: DataFrame, captions: DataFrame,
                  .withColumn("__kb", F.col("id_b")))
     common = F.size(F.array_intersect("__ta", "__tb")).cast("long")
     union = (F.size("__ta") + F.size("__tb")).cast("long") - common
-    return (pairs.join(a, "__ka").join(b, "__kb")
-            .select("id_a", "id_b", "hamming",
-                    common.alias("n_common"), union.alias("n_union"),
-                    (common * den < union * num).alias("conflict")))
+    kp = (pairs.select("__ka", "__kb").distinct()
+          .join(a, "__ka").join(b, "__kb")
+          .select("__ka", "__kb", common.alias("n_common"),
+                  union.alias("n_union")))
+    return (pairs.join(kp, ["__ka", "__kb"])
+            .select("id_a", "id_b", "hamming", "n_common", "n_union",
+                    (F.col("n_common") * den < F.col("n_union") * num)
+                    .alias("conflict")))
 
 
 AUGMENT_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
