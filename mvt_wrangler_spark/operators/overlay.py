@@ -158,7 +158,8 @@ def with_cover_cells(edges: DataFrame, cell_size: int) -> DataFrame:
 
 def ring_validity(rings: DataFrame, key_col: str = "gkey",
                   xs_col: str = "xs", ys_col: str = "ys",
-                  cell_size: int = 512) -> DataFrame:
+                  cell_size: int = 512,
+                  allpairs_max_edges: int = 32) -> DataFrame:
     """(gkey, n_edges, n_cross, n_touch, is_simple) per ring.
 
     n_cross counts unordered NON-ADJACENT edge pairs that properly cross;
@@ -168,12 +169,60 @@ def ring_validity(rings: DataFrame, key_col: str = "gkey",
     scope (documented divergence from a full OGC IsSimple).
 
     Plan: edge explode -> bbox cell cover -> per-(ring, cell) self equi-join
-    (eid_a < eid_b) -> distinct pair -> exact integer flags -> one
+    (eid_a < eid_b) -> reporting-cell filter -> exact integer flags -> one
     aggregation; rings with no candidate pairs rejoin with zero counts via
     a broadcast-friendly left join on the slim ring-key side.
+
+    Two candidate arms, split by ring size (each emits every qualifying
+    pair exactly once for well-formed input; the union feeds one distinct
+    that collapses degenerate duplicate input rows):
+
+      * rings with <= allpairs_max_edges edges (the overwhelmingly common
+        case — building footprints, admin polygons) skip the grid
+        entirely: a single self equi-join on the ring key with a codegen
+        bbox-overlap filter. For a 4-8 edge ring the cell cover explode
+        costs more rows than all of its non-adjacent pairs, so bucketing
+        is pure overhead there.
+      * larger rings (coastlines) keep the cell-bucketed join, where the
+        O(k²) all-pairs shape would be fatal. Pairs meeting in several
+        shared cells are pre-collapsed by the REPORTING-CELL filter: each
+        pair survives only in the canonical minimum cell of the two bbox
+        covers' (rectangular) intersection, i.e. (max of the two bbox-min
+        xs) >> k per axis — the classic PBSM reference-point dedup (Patel
+        & DeWitt, SIGMOD'96), a codegen predicate on columns already
+        present — so the distinct shuffles one row per PAIR instead of
+        one per shared cell.
+
+    Both arms apply bbox/cell prefilters that are necessary conditions for
+    intersection, so the exact flags decide the same pair set either way.
     """
     edges = ring_edges(rings, key_col, xs_col, ys_col)
-    cov = with_cover_cells(edges, cell_size)
+    k = cell_size.bit_length() - 1
+    nonadj = ((F.col("eid_a") < F.col("eid_b"))
+              # non-adjacent only: consecutive eids or the wrap pair (0, n-1)
+              & (F.col("eid_b") - F.col("eid_a") != 1)
+              & ~((F.col("eid_a") == 0)
+                  & (F.col("eid_b") == F.col("n_edges") - 1)))
+    bbox_overlap = (
+        (F.least("p_ax", "p_bx") <= F.greatest("q_ax", "q_bx"))
+        & (F.least("q_ax", "q_bx") <= F.greatest("p_ax", "p_bx"))
+        & (F.least("p_ay", "p_by") <= F.greatest("q_ay", "q_by"))
+        & (F.least("q_ay", "q_by") <= F.greatest("p_ay", "p_by")))
+
+    small = edges.filter(F.col("n_edges") <= allpairs_max_edges)
+    sa = small.select("gkey", "n_edges",
+                      F.col("eid").alias("eid_a"), F.col("ax").alias("p_ax"),
+                      F.col("ay").alias("p_ay"), F.col("bx").alias("p_bx"),
+                      F.col("by").alias("p_by"))
+    sb = small.select("gkey",
+                      F.col("eid").alias("eid_b"), F.col("ax").alias("q_ax"),
+                      F.col("ay").alias("q_ay"), F.col("bx").alias("q_bx"),
+                      F.col("by").alias("q_by"))
+    small_pairs = (sa.join(sb, on="gkey")
+                   .filter(nonadj).filter(bbox_overlap))
+
+    big = edges.filter(F.col("n_edges") > allpairs_max_edges)
+    cov = with_cover_cells(big, cell_size)
     a = cov.select("gkey", "n_edges", "__cx", "__cy",
                    F.col("eid").alias("eid_a"), F.col("ax").alias("p_ax"),
                    F.col("ay").alias("p_ay"), F.col("bx").alias("p_bx"),
@@ -182,13 +231,16 @@ def ring_validity(rings: DataFrame, key_col: str = "gkey",
                    F.col("eid").alias("eid_b"), F.col("ax").alias("q_ax"),
                    F.col("ay").alias("q_ay"), F.col("bx").alias("q_bx"),
                    F.col("by").alias("q_by"))
-    pairs = (a.join(b, on=["gkey", "__cx", "__cy"])
-             .filter(F.col("eid_a") < F.col("eid_b"))
-             # non-adjacent only: consecutive eids or the wrap pair (0, n-1)
-             .filter((F.col("eid_b") - F.col("eid_a") != 1)
-                     & ~((F.col("eid_a") == 0)
-                         & (F.col("eid_b") == F.col("n_edges") - 1)))
-             .drop("__cx", "__cy").distinct())
+    rep_cx = F.shiftright(F.greatest(F.least("p_ax", "p_bx").cast("long"),
+                                     F.least("q_ax", "q_bx").cast("long")), k)
+    rep_cy = F.shiftright(F.greatest(F.least("p_ay", "p_by").cast("long"),
+                                     F.least("q_ay", "q_by").cast("long")), k)
+    big_pairs = (a.join(b, on=["gkey", "__cx", "__cy"])
+                 .filter(nonadj)
+                 # exactly-once: keep the pair only in its reporting cell
+                 .filter((F.col("__cx") == rep_cx) & (F.col("__cy") == rep_cy))
+                 .drop("__cx", "__cy"))
+    pairs = small_pairs.unionByName(big_pairs).distinct()
     proper, touch = segment_flags(
         F.col("p_ax"), F.col("p_ay"), F.col("p_bx"), F.col("p_by"),
         F.col("q_ax"), F.col("q_ay"), F.col("q_bx"), F.col("q_by"))
@@ -213,9 +265,14 @@ def segment_cross_join(edges_a: DataFrame, edges_b: DataFrame,
 
     Inputs: (id, ax, ay, bx, by) per side, non-negative integer coords.
     Output: one row per crossing pair (a_id, b_id) — the line/line overlay
-    join. Cell-bucketed equi-join + distinct + exact integer test; touches
-    (shared endpoints between layers) are NOT crossings and are excluded.
+    join. Cell-bucketed equi-join + exact integer test; touches (shared
+    endpoints between layers) are NOT crossings and are excluded. Pairs
+    meeting in several shared cells are pre-collapsed by the
+    reporting-cell filter (see ring_validity) before the distinct, which
+    then only has to dedup duplicate input edge rows — one row per pair
+    crosses that shuffle instead of one per shared cell.
     """
+    k = cell_size.bit_length() - 1
     ca = with_cover_cells(
         edges_a.select(F.col("id").alias("a_id"),
                        F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")),
@@ -226,7 +283,15 @@ def segment_cross_join(edges_a: DataFrame, edges_b: DataFrame,
                        F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")),
         cell_size).withColumnsRenamed(
             {"ax": "q_ax", "ay": "q_ay", "bx": "q_bx", "by": "q_by"})
+    rep_cx = F.shiftright(F.greatest(F.least("p_ax", "p_bx").cast("long"),
+                                     F.least("q_ax", "q_bx").cast("long")), k)
+    rep_cy = F.shiftright(F.greatest(F.least("p_ay", "p_by").cast("long"),
+                                     F.least("q_ay", "q_by").cast("long")), k)
     pairs = (ca.join(cb, on=["__cx", "__cy"])
+             # reporting-cell filter (see ring_validity), then distinct to
+             # collapse duplicate input edge rows — its input is now one row
+             # per pair instead of one per shared cell
+             .filter((F.col("__cx") == rep_cx) & (F.col("__cy") == rep_cy))
              .drop("__cx", "__cy").distinct())
     proper, _ = segment_flags(
         F.col("p_ax"), F.col("p_ay"), F.col("p_bx"), F.col("p_by"),

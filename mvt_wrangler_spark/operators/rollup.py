@@ -47,25 +47,37 @@ def tile_stats(df: DataFrame, n_salt: int = 0, salt_col: str = "image_id",
 def pyramid_rollup(base: DataFrame, base_z: int, min_z: int = 0) -> DataFrame:
     """Roll per-tile stats from base_z up to min_z; returns all levels unioned.
 
-    base must have (z, x, y, n_rows[, bytes_in]); each level z-1 aggregates
-    level z with x>>1, y>>1 — log2 pyramid, every step input is the previous
-    output (already tiny), so only the first groupBy touches base data.
+    base must have (z, x, y, n_rows[, bytes_in]); level z' aggregates base
+    with x >> (base_z - z'), y >> (base_z - z') — integer sums are
+    associative, so grouping base straight to each level equals the
+    level-by-level chain bit for bit.
+
+    The base is materialized ONCE (localCheckpoint): the naive
+    chain-then-union plan re-executes the expensive base aggregation once
+    PER LEVEL (level k's union branch embeds k cascaded groupBys all the
+    way down to the raw scan — 11 scans / 66 exchanges in the zoom-10
+    contract query's physical plan), turning a log-depth pyramid into a
+    quadratic one. base after its groupBy is bounded by 4^base_z rows
+    regardless of corpus size, so the checkpoint is cheap at any scale,
+    and all per-level aggregations then run as parallel branches of one
+    job over that bounded table (map-side combine collapses each branch
+    to its own output size).
     """
     agg_cols = [c for c in base.columns if c not in ("z", "x", "y")]
-    levels = [base]
-    cur = base
+    b = base.localCheckpoint()
+    levels = [b]
     for z in range(base_z - 1, min_z - 1, -1):
-        cur = (
-            cur.select(
+        d = base_z - z
+        levels.append(
+            b.select(
                 F.lit(z).cast("int").alias("z"),
-                F.shiftright("x", 1).alias("x"),
-                F.shiftright("y", 1).alias("y"),
+                F.shiftright("x", d).alias("x"),
+                F.shiftright("y", d).alias("y"),
                 *agg_cols,
             )
             .groupBy("z", "x", "y")
             .agg(*[F.sum(c).alias(c) for c in agg_cols])
         )
-        levels.append(cur)
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)

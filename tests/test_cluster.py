@@ -138,3 +138,37 @@ def test_pagerank_int_vs_python(spark):
     assert got == pr
     assert got[3] > got[1]          # the hub outranks a cycle member
     assert got[6] > base            # dangling node still receives
+
+
+def test_pagerank_int_deep_iters_checkpointed(spark):
+    """12 iterations cross the checkpoint_every=5 lineage truncation twice
+    and still match the pure-python replica bit for bit; the final plan
+    must not embed all 12 iterations (bounded analysis time at real
+    link-graph iteration counts)."""
+    from collections import defaultdict
+
+    from mvt_wrangler_spark.operators.graph import pagerank_int
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (3, 6)]
+    nodes = sorted({u for e in edges for u in e})
+    SCALE, A_N, A_D, ITERS = 1_000_000, 85, 100, 12
+    out = defaultdict(list)
+    for u, v in edges:
+        out[u].append(v)
+    pr = {n: SCALE for n in nodes}
+    base = SCALE - SCALE * A_N // A_D
+    for _ in range(ITERS):
+        nxt = {n: base for n in nodes}
+        for u, vs in out.items():
+            c = pr[u] * A_N // (A_D * len(vs))
+            for v in vs:
+                nxt[v] += c
+        pr = nxt
+    df = spark.createDataFrame(edges, "src long, dst long")
+    result = pagerank_int(df, iters=ITERS, checkpoint_every=5)
+    got = {r.node: r.pr for r in result.collect()}
+    assert got == pr
+    # lineage truncated: at most the post-checkpoint tail (2 iterations of
+    # joins) appears in the plan, not all 12
+    plan = result._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 12
