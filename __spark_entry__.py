@@ -1710,7 +1710,10 @@ def q_clip_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  lambda c: c.cast("double")).alias("xs"),
                      F.transform(F.col("vs.vy"),
                                  lambda c: c.cast("double")).alias("ys")))
-    return CL.clip_rings(rings, 512.0, 512.0, 3584.0, 3584.0, snap=16)
+    # AQE coalesces the ring-assembly exchange to a couple of partitions
+    # (~MBs), which would run the per-ring Python clip nearly single-core
+    return CL.clip_rings(_spread(rings), 512.0, 512.0, 3584.0, 3584.0,
+                         snap=16)
 
 
 def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -688,19 +688,31 @@ def embedding_neardup_lsh(df: DataFrame, id_col: str = "vec_id",
     """
     qvec = F.transform(F.col(vec_col),
                        lambda x: F.round(x.cast("double") * quant).cast("long"))
-    e = df.select(F.col(id_col).alias("id"), qvec.alias("q"),
+    # SLIM candidate generation: the banded self-join and the pair dedup
+    # move only (id, bucket) rows; the quantized vectors re-attach to the
+    # deduplicated pair set afterwards. The earlier form carried qa+qb
+    # (2 x dim longs ~ 1 KB/row) through the bucket join AND the
+    # dropDuplicates shuffle — 372k candidate pairs x 1 KB at sf0.1 where
+    # the slim form shuffles 16 bytes/pair plus two id-keyed joins of the
+    # (much smaller) vector table.
+    e = df.select(F.col(id_col).alias("id"),
                   F.explode(embedding_sign_buckets(F.col(vec_col), quant, nbits, bands)
                             ).alias("bucket"))
     sizes = e.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
     ok = sizes.filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket)).select("bucket")
     e = e.join(ok, on="bucket")
-    a = e.select(F.col("id").alias("id_a"), F.col("q").alias("qa"), "bucket")
-    b = e.select(F.col("id").alias("id_b"), F.col("q").alias("qb"), "bucket")
+    a = e.select(F.col("id").alias("id_a"), "bucket")
+    b = e.select(F.col("id").alias("id_b"), "bucket")
+    vecs = df.select(F.col(id_col).alias("__vid"), qvec.alias("__q"))
     cand = (
         a.join(b, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "qa", "qb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .join(vecs.select(F.col("__vid").alias("id_a"),
+                          F.col("__q").alias("qa")), on="id_a")
+        .join(vecs.select(F.col("__vid").alias("id_b"),
+                          F.col("__q").alias("qb")), on="id_b")
     )
     dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
                       F.lit(0).cast("long"), lambda acc, v: acc + v)
@@ -755,7 +767,8 @@ SELECT id_a, id_b FROM __s WHERE s > 0 AND s * s * {cos_den} > {cos_num} * na * 
 
 def phash_hamming_pairs(df: DataFrame, id_col: str = "image_id",
                         phash_col: str = "phash", k: int = 3, bands: int = 4,
-                        max_bucket: int = 1000, hot_fallback: bool = True) -> DataFrame:
+                        max_bucket: int = 1000, hot_fallback: bool = True,
+                        materialize_input: bool = True) -> DataFrame:
     """Near-duplicate image pairs by 64-bit perceptual-hash hamming distance.
 
     The image twin of minhash_lsh_candidates: web-scale image dedup keys on
@@ -783,11 +796,22 @@ def phash_hamming_pairs(df: DataFrame, id_col: str = "image_id",
 
     Input must be unique per id (pre-aggregate otherwise). Output:
     (id_a, id_b, hamming), id_a < id_b, distinct.
+
+    materialize_input (default True) localCheckpoints the slim (id, phash)
+    projection before banding: the plan below references it ~6x (band rows
+    for sizes / both join sides / the star arm), and an un-materialized
+    input re-executes its WHOLE upstream per reference — for a
+    decode-and-hash producer that is six image passes per run. The
+    materialized table is 16 bytes/row (the guide §8 proxy shape), i.e.
+    one cheap pass at any corpus size; set False only when the input is a
+    trivially re-computable scan.
     """
     if not 1 <= k < bands:
         raise ValueError(f"banding guarantee needs 1 <= k < bands, got k={k} bands={bands}")
     if 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
+    if materialize_input:
+        df = df.select(id_col, phash_col).localCheckpoint()
     width = 64 // bands
     mask = (1 << width) - 1
     # arithmetic shift + mask == unsigned bit extraction, and restates 1:1 in

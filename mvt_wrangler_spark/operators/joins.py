@@ -803,8 +803,11 @@ def partitioned_intersects_join(feats: DataFrame, polys: DataFrame, z: int = 9, 
     def _cover(df, idc, bbox_cols, what, pfx):
         """Tile cover of each bbox; the 4 bbox corners RIDE ALONG as
         `{pfx}0x..{pfx}1y` so the candidate join can bbox-prune pairs that
-        merely share a coarse tile before anything wide moves (the cover
-        rows stay slim: id + 2 tile ints + 4 doubles)."""
+        merely share a coarse tile before anything wide moves, and the
+        cover-min tile (`{pfx}tx0`/`{pfx}ty0`) rides along so the pair
+        dedup can be a codegen reporting-tile predicate instead of a
+        distinct (the cover rows stay slim: id + 4 tile ints + 4 doubles).
+        """
         bx0, bx1, by0, by1 = bbox_cols
         d = df.withColumns({
             "__tx0": T.tile_x(bx0, z), "__tx1": T.tile_x(bx1, z),
@@ -821,16 +824,29 @@ def partitioned_intersects_join(feats: DataFrame, polys: DataFrame, z: int = 9, 
         bb = {f"{pfx}0x": bx0, f"{pfx}1x": bx1,
               f"{pfx}0y": by0, f"{pfx}1y": by1}
         return (d.select(idc, *[c.alias(n) for n, c in bb.items()],
+                         F.col("__tx0").alias(f"{pfx}tx0"),
+                         F.col("__ty0").alias(f"{pfx}ty0"),
                          F.explode(F.sequence("__tx0", "__tx1")).alias("__tx"),
                          "__ty0", "__ty1")
-                 .select(idc, *bb.keys(), "__tx",
+                 .select(idc, *bb.keys(), f"{pfx}tx0", f"{pfx}ty0", "__tx",
                          F.explode(F.sequence("__ty0", "__ty1")).alias("__ty")))
 
     f = feats.select(
         F.col(id_col).alias("__fid"), F.col(type_col).alias("__gt"),
         F.col(fxs_col).alias("__fxs"), F.col(fys_col).alias("__fys"))
+    # ONE aggregation consolidates what used to be three separate passes
+    # over the feature input (cover source, dropDuplicates for the vertex
+    # rows, multiplicity count): every downstream branch hangs off this
+    # single groupBy, so the planner reuses its exchange and the upstream
+    # feature derivation executes once instead of three times (duplicate
+    # ids carry identical geometry by contract, so first() is exact).
+    g = (f.groupBy("__fid")
+         .agg(F.count(F.lit(1)).alias("__mult"),
+              F.first("__gt").alias("__gt"),
+              F.first("__fxs").alias("__fxs"),
+              F.first("__fys").alias("__fys")))
     fcov = _cover(
-        f.withColumns({"__minx": F.array_min("__fxs"), "__maxx": F.array_max("__fxs"),
+        g.withColumns({"__minx": F.array_min("__fxs"), "__maxx": F.array_max("__fxs"),
                        "__miny": F.array_min("__fys"), "__maxy": F.array_max("__fys")}),
         "__fid",
         (F.col("__minx"), F.col("__maxx"), F.col("__miny"), F.col("__maxy")),
@@ -848,14 +864,22 @@ def partitioned_intersects_join(feats: DataFrame, polys: DataFrame, z: int = 9, 
         "polygon", "__pb")
 
     # slim candidate pairs: bbox overlap (a NECESSARY condition for
-    # intersects) prunes pairs that only share a coarse tile, THEN dedup
-    # across shared tiles — all before the wide vertex arrays move
+    # intersects) prunes pairs that only share a coarse tile; pairs sharing
+    # several tiles are collapsed by the PBSM reporting-tile predicate (the
+    # pair survives only in the minimum tile of the two covers'
+    # intersection — pure integer codegen on the riding cover-min tiles)
+    # instead of a distinct's shuffle. Exactly-once holds because the
+    # feature side is unique per id (the groupBy above) and polys must be
+    # unique per poly_id (the refine already requires that — duplicate
+    # polygon rows would double their rings in the cogroup).
     cand = (fcov.join(pcov, on=["__tx", "__ty"])
             .filter((F.col("__fb0x") <= F.col("__pb1x"))
                     & (F.col("__pb0x") <= F.col("__fb1x"))
                     & (F.col("__fb0y") <= F.col("__pb1y"))
                     & (F.col("__pb0y") <= F.col("__fb1y")))
-            .select("__fid", "__pid").distinct()
+            .filter((F.col("__tx") == F.greatest("__fbtx0", "__pbtx0"))
+                    & (F.col("__ty") == F.greatest("__fbty0", "__pbty0")))
+            .select("__fid", "__pid")
             .withColumn("__salt", F.pmod(F.xxhash64("__fid"), F.lit(n_salt))))
     # SCALAR vertex rows, not array columns: pyarrow's arrow_to_pandas
     # SEGFAULTS on sliced nested-list batches in the cogroup load path
@@ -869,10 +893,10 @@ def partitioned_intersects_join(feats: DataFrame, polys: DataFrame, z: int = 9, 
     # carry identical geometry — the id IS the geometry key here — and their
     # multiplicity is preserved: the refine runs once per distinct id, and
     # the output re-expands by the input row count (matching the broadcast
-    # path, which emits one row per input ROW)
-    fmult = f.groupBy("__fid").agg(F.count(F.lit(1)).alias("__mult"))
-    funiq = f.dropDuplicates(["__fid"])
-    fvert = funiq.select(
+    # path, which emits one row per input ROW). Both the multiplicity and
+    # the unique vertex rows come from the SAME g aggregation as the cover.
+    fmult = g.select("__fid", "__mult")
+    fvert = g.select(
         "__fid", "__gt",
         F.posexplode(F.arrays_zip(F.col("__fxs"), F.col("__fys")))
         .alias("__vi", "__v"))

@@ -15,6 +15,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def _check_on_error(on_error: str) -> str:
+    """Validate at operator ENTRY (driver side): a typo like 'Skip' would
+    otherwise silently behave as 'raise' deep inside an executor loop."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    return on_error
+
+
 def _decode_or_none(data, fmt, w, h, on_error: str):
     """Decode, or skip corrupt payloads when on_error='skip'.
 
@@ -116,6 +124,7 @@ def thumbnail(images_df: DataFrame, factor: int = 4, out_fmt: str = "rawz",
     """
     if factor < 1:
         raise ValueError("factor must be >= 1")
+    _check_on_error(on_error)
 
     from ..sources import images as I
 
@@ -170,6 +179,7 @@ def ahash64(images_df: DataFrame, luma=(1, 2, 1), luma_div: int = 1,
     Images smaller than 8x8 are skipped.
     """
     lr, lg, lb = luma
+    _check_on_error(on_error)
 
     def _hash(pdfs):
         from ..sources import images as I

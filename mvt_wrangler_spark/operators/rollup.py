@@ -106,7 +106,13 @@ def morans_i(tiles: DataFrame, x_col: str = "x", y_col: str = "y",
     8-offset key explode + equi-join on (x, y) — no inequality join, no
     cartesian. Two scalar aggregates meet on a constant key (broadcast),
     producing one output row.
+
+    The tile table is referenced three times (global scalars, the neighbor
+    explode, the join-back side); it is bounded by 4^z rows whatever the
+    corpus size, so it is materialized once (localCheckpoint) instead of
+    re-running the upstream per-tile aggregation per reference.
     """
+    tiles = tiles.localCheckpoint()
     c = F.col(cnt_col)
     g = tiles.agg(
         F.count(F.lit(1)).alias("__n"),
@@ -164,7 +170,10 @@ def getis_ord_gi(tiles: DataFrame, x_col: str = "x", y_col: str = "y",
     Scale shape: one 9-offset explode + groupBy over the bounded tile
     table, an equi-join back to the tiles, and a broadcast of the 1-row
     global scalars on a constant key. No inequality join, no window.
+    Like morans_i, the (bounded, <= 4^z rows) tile table is materialized
+    once — it feeds the scalars, the 9-offset explode, and the join back.
     """
+    tiles = tiles.localCheckpoint()
     c = F.col(cnt_col)
     g = tiles.agg(
         F.count(F.lit(1)).alias("__n"),

@@ -147,9 +147,12 @@ def stream_od_transitions(located_stream: DataFrame) -> DataFrame:
     Input columns: user_id, k (int64 total order — the packed
     (micros, event_id) convention), tile. Rows must arrive in key order
     per user ACROSS batches for transitions to match the batch operator
-    (within a batch they are sorted here; late cross-batch events would
-    splice wrongly — add a watermark-delayed sort upstream if the source
-    reorders). Output: (user_id, k, tile_from, tile_to).
+    (within a batch they are sorted here — the group's WHOLE micro-batch is
+    concatenated before the sort, because applyInPandasWithState delivers
+    one group's rows as multiple Arrow chunks and a per-chunk sort would
+    splice transitions in chunk order; late cross-batch events still need
+    a watermark-delayed sort upstream if the source reorders). Output:
+    (user_id, k, tile_from, tile_to).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -161,9 +164,12 @@ def stream_od_transitions(located_stream: DataFrame) -> DataFrame:
         (uid,) = key
         last = state.get if state.exists else None
         outs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("k", kind="mergesort")
-            for row in pdf.itertuples(index=False):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+                     else chunks[0])
+            batch = batch.sort_values("k", kind="mergesort")
+            for row in batch.itertuples(index=False):
                 if last is not None:
                     outs.append((uid, int(row.k), int(last[1]), int(row.tile)))
                 last = (int(row.k), int(row.tile))
