@@ -1312,22 +1312,19 @@ def _ahash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     imgs = ids.mapInPandas(gen, "image_id string, bytes binary, fmt string, w int, h int")
-    # Materialize (id, ahash) ONCE per invocation: every consumer
-    # (phash_hamming_pairs' band self-join, sizes agg, star fallback)
-    # references this table 4-6x, and without materialization EACH reference
-    # re-runs the whole scan->distinct->pixel-gen->codec->ahash chain
-    # (observed: 6 copies of the MapInPandas chain in the caption_conflicts
-    # physical plan). The table is (id, ahash) = 16 bytes/row — the guide §8
-    # "small proxy" shape — so one localCheckpoint is cheap at any scale;
-    # phash_hamming_clusters already does the same for its collapsed table.
-    # localCheckpoint, NOT cache(): CacheManager matches by canonicalized
-    # plan, so a cache would survive into the next invocation of the same
-    # query and the warm run would skip the image chain entirely — cross-run
-    # result reuse the bench rules forbid. The checkpoint is re-materialized
-    # on every invocation. repartition-down first: the Python chain runs
-    # wide (_spread), but downstream consumers are slim row-count-bounded
-    # joins, and reading 2x-parallelism checkpoint blocks per reference
-    # costs more task scheduling than the data justifies.
+    # Materialize (id, ahash) ONCE per invocation: consumers reference it
+    # several times (hamming_keepers joins df twice; the banding operators
+    # re-materialize only their own slim projection), and an
+    # un-materialized reference re-runs the whole scan->gen->codec->ahash
+    # chain. 16 bytes/row — the guide §8 proxy shape. localCheckpoint,
+    # NOT cache(): CacheManager matches by canonicalized plan, so a cache
+    # would be silently reused by the NEXT invocation of the same query
+    # (cross-run result reuse the bench rules forbid); the checkpoint
+    # re-materializes every run. Repartition-down first: the Python chain
+    # runs wide (_spread), but downstream consumers are slim
+    # row-count-bounded joins, and reading 2x-parallelism checkpoint
+    # blocks per reference costs more task scheduling than 16-byte rows
+    # justify.
     par = max(8, spark.sparkContext.defaultParallelism // 4)
     return (ahash64(imgs)
             .select(F.col("image_id").cast("long").alias("id"), "ahash")

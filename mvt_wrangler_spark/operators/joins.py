@@ -382,7 +382,13 @@ def knn_join_cells(data: DataFrame, queries: DataFrame, k: int, z: int = 7,
         F.col("x").alias("__cx"), F.col("y").alias("__cy"),
         F.pmod(F.xxhash64(F.col("__did")), F.lit(n_salt)).alias("__salt"),
     )
-    d = d.persist()
+    # localCheckpoint, not persist(): the expanding-ring loop references d
+    # every round, so it must be materialized — but a persist() is matched
+    # by canonicalized plan in the CacheManager and would be silently
+    # REUSED by the next invocation of the same query (cross-run result
+    # reuse the bench rules forbid, and it was never unpersisted). The
+    # checkpoint re-materializes per invocation.
+    d = d.localCheckpoint()
     remaining = tiling.assign_tiles(
         queries.select(F.col(query_id).alias("__qid"),
                        F.col(lon_col).alias("lon"), F.col(lat_col).alias("lat")),
