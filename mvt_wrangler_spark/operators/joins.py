@@ -184,7 +184,12 @@ def partitioned_pip_join(points: DataFrame, polys: DataFrame, z: int = 9, *,
                           F.col(lon_col).alias("__lon"),
                           F.col(lat_col).alias("__lat"))
             .groupBy("__id", "__lon", "__lat")
-            .agg(F.count(F.lit(1)).alias("__mult")))
+            # materialized once: referenced by the candidate path AND the
+            # final multiplicity join-back — un-materialized, the point
+            # scan + dedup groupBy execute twice per run. Slim rows
+            # (id + 2 doubles + count), the guide §8 proxy shape.
+            .agg(F.count(F.lit(1)).alias("__mult"))
+            .localCheckpoint())
     pt = mult.withColumns({
         "__tx": T.tile_x(F.col("__lon"), z),
         "__ty": T.tile_y(F.col("__lat"), z),
@@ -842,15 +847,20 @@ def partitioned_intersects_join(feats: DataFrame, polys: DataFrame, z: int = 9, 
         F.col(fxs_col).alias("__fxs"), F.col(fys_col).alias("__fys"))
     # ONE aggregation consolidates what used to be three separate passes
     # over the feature input (cover source, dropDuplicates for the vertex
-    # rows, multiplicity count): every downstream branch hangs off this
-    # single groupBy, so the planner reuses its exchange and the upstream
-    # feature derivation executes once instead of three times (duplicate
-    # ids carry identical geometry by contract, so first() is exact).
+    # rows, multiplicity count), materialized once with localCheckpoint:
+    # per-branch column pruning makes the three copies non-identical, so
+    # exchange reuse does NOT fire (verified in the plan) and without the
+    # checkpoint the upstream feature derivation still executes three
+    # times. The checkpoint is one pass over the unique-feature table —
+    # at corpus scale the same cost class as the shuffle the groupBy
+    # already pays. (Duplicate ids carry identical geometry by contract,
+    # so first() is exact.)
     g = (f.groupBy("__fid")
          .agg(F.count(F.lit(1)).alias("__mult"),
               F.first("__gt").alias("__gt"),
               F.first("__fxs").alias("__fxs"),
-              F.first("__fys").alias("__fys")))
+              F.first("__fys").alias("__fys"))
+         .localCheckpoint())
     fcov = _cover(
         g.withColumns({"__minx": F.array_min("__fxs"), "__maxx": F.array_max("__fxs"),
                        "__miny": F.array_min("__fys"), "__maxy": F.array_max("__fys")}),

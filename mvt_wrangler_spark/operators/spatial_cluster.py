@@ -117,16 +117,25 @@ def grid_cluster(pts: DataFrame, eps: int, id_col: str = "id",
     id), computed over the collapsed cell graph (module doc)."""
     c = _cell_size(eps)
     eps2 = eps * eps
+    # q is referenced four times (cell agg, both border point sides, the
+    # final member expansion) and cells three times (probe explode, the
+    # candidate join, the closure corpus); un-materialized, each reference
+    # re-executes the upstream scan + cell math. Both are slim proxy
+    # tables (q: id + 2 coords + 2 cells = ~40 B/row, one pass — the same
+    # cost class as one shuffle of the input; cells: bounded by the
+    # occupied-cell count), so materialize each once per invocation.
     q = pts.select(F.col(id_col).cast("long").alias("__id"),
                    F.col(x_col).cast("long").alias("__x"),
                    F.col(y_col).cast("long").alias("__y"),
                    F.expr(f"{x_col} DIV {c}").cast("long").alias("__cx"),
-                   F.expr(f"{y_col} DIV {c}").cast("long").alias("__cy"))
+                   F.expr(f"{y_col} DIV {c}").cast("long").alias("__cy")) \
+        .localCheckpoint()
     cells = (q.groupBy("__cx", "__cy")
              .agg(F.min("__x").alias("__minx"), F.max("__x").alias("__maxx"),
                   F.min("__y").alias("__miny"), F.max("__y").alias("__maxy"))
              .withColumn("__cell",
-                         F.col("__cx") * F.lit(_PACK) + F.col("__cy")))
+                         F.col("__cx") * F.lit(_PACK) + F.col("__cy"))
+             .localCheckpoint())
 
     offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
                      for dx, dy in _half_offsets(eps, c)])
