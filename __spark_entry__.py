@@ -2132,6 +2132,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "geom_measures": q_geom_measures,
+        "augment_stats": q_augment_stats,
+        "contour": q_contour,
+        "recon_error": q_recon_error,
+        "hillshade": q_hillshade,
+        "equalize": q_equalize,
+        "caption_conflicts": q_caption_conflicts,
+        "image_curate_e2e": q_image_curate_e2e,
+        "tile_sample": q_tile_sample,
+        "embed_centroids": q_embed_centroids,
+        "clip_tile": q_clip_tile,
+        "simplify": q_simplify,
+        "overzoom": q_overzoom,
+        "mosaic": q_mosaic,
+        "clip_lines": q_clip_lines,
+        "tile_shards": q_tile_shards,
+        "spatial_cluster": q_spatial_cluster,
+        "dataset_split": q_dataset_split,
+        "ring_valid": q_ring_valid,
+        "line_cross": q_line_cross,
+        "boilerplate": q_boilerplate,
+        "dwithin_join": q_dwithin_join,
+        "tfidf_topk": q_tfidf_topk,
+        "winding": q_winding,
+        "pagerank": q_pagerank,
+        "funnel": q_funnel,
+        "od_matrix": q_od_matrix,
+        "dedup_safe_split": q_dedup_safe_split,
+        "profile": q_profile,
+        "phash_neardup": q_phash_neardup,
+        "kmeans_assign": q_kmeans_assign,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "image_ahash_neardup": q_image_ahash_neardup,
+        "neardup_clusters": q_neardup_clusters,
+        "tile_quantiles": q_tile_quantiles,
+        "revenue_by_tile": q_revenue_by_tile,
+        "bytes_dedup": q_bytes_dedup,
+        "tile_encode": q_tile_encode,
+        "simhash": q_simhash,
+        "doc_fingerprint": q_doc_fingerprint,
+        "geocode": q_geocode,
+        "cell_cover_join": q_cell_cover_join,
         "tile_assign": q_tile_assign,
         "tile_assign_multi": q_tile_assign_multi,
         "tile_local": q_tile_local,
@@ -2182,48 +2224,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "thumb_stats": q_thumb_stats,
         "patch_stats": q_patch_stats,
-        "augment_stats": q_augment_stats,
-        "contour": q_contour,
-        "recon_error": q_recon_error,
-        "hillshade": q_hillshade,
-        "equalize": q_equalize,
-        "phash_neardup": q_phash_neardup,
-        "kmeans_assign": q_kmeans_assign,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "image_ahash_neardup": q_image_ahash_neardup,
-        "caption_conflicts": q_caption_conflicts,
-        "image_curate_e2e": q_image_curate_e2e,
-        "neardup_clusters": q_neardup_clusters,
-        "tile_quantiles": q_tile_quantiles,
-        "revenue_by_tile": q_revenue_by_tile,
-        "bytes_dedup": q_bytes_dedup,
-        "tile_encode": q_tile_encode,
-        "simhash": q_simhash,
-        "doc_fingerprint": q_doc_fingerprint,
-        "geom_measures": q_geom_measures,
-        "geocode": q_geocode,
-        "cell_cover_join": q_cell_cover_join,
-        "tile_sample": q_tile_sample,
-        "embed_centroids": q_embed_centroids,
-        "clip_tile": q_clip_tile,
-        "simplify": q_simplify,
-        "overzoom": q_overzoom,
-        "mosaic": q_mosaic,
-        "clip_lines": q_clip_lines,
-        "tile_shards": q_tile_shards,
-        "spatial_cluster": q_spatial_cluster,
-        "dataset_split": q_dataset_split,
-        "ring_valid": q_ring_valid,
-        "line_cross": q_line_cross,
-        "boilerplate": q_boilerplate,
-        "dwithin_join": q_dwithin_join,
-        "tfidf_topk": q_tfidf_topk,
-        "winding": q_winding,
-        "pagerank": q_pagerank,
-        "funnel": q_funnel,
-        "od_matrix": q_od_matrix,
-        "dedup_safe_split": q_dedup_safe_split,
-        "profile": q_profile,
     }
 
 
