@@ -1200,7 +1200,11 @@ def q_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvt_wrangler_spark.sources import images as I
 
     W, H = 16, 8
-    ids = _spread(_points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(47)) == 9).distinct())
+    # no _spread here: the 16x8 fixture's per-image Python is so light that
+    # the two-pass operator (histogram + remap both re-read the gen) pays
+    # more in repartition exchanges + task scheduling than the parallelism
+    # returns (A/B at sf0.1: 1.43 s vs 2.5-3.1 s median with _spread)
+    ids = _points(spark, sf_dir).select("id").filter(F.pmod("id", F.lit(47)) == 9).distinct()
 
     def gen(pdfs):
         fmts = ["raw", "rawz", "qlossy"]
