@@ -163,3 +163,48 @@ def test_stream_od_transitions_matches_batch(spark, tmp_path):
                                 tile_col="tile").collect()}
     assert dict(got) == batch
     assert got[(2, 2)] == 1 and got[(5, 6)] == 1  # cross-batch splices
+
+
+def test_stream_od_transitions_multichunk_group(spark, tmp_path):
+    """A group whose micro-batch spans SEVERAL Arrow chunks must still walk
+    its events in key order: applyInPandasWithState delivers one group's
+    rows as multiple chunks, and a per-chunk sort (the pre-round-7 bug)
+    splices transitions in chunk order. Forcing 8-row Arrow batches with a
+    40-event user reproduces >1 chunk per group; the result must equal the
+    batch od_matrix on the same rows."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        src = str(tmp_path / "odmc")
+        # one user, 40 events, keys written in REVERSED order so chunk-local
+        # sorting cannot accidentally produce the global order
+        rows = [(3, k, k % 7) for k in range(40, 0, -1)]
+        sch = "user_id long, k long, tile long"
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(f"{src}/f=0")
+
+        from mvt_wrangler_spark.streaming.stream import stream_od_transitions
+
+        schema = spark.read.parquet(f"{src}/f=0").schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{src}/f=*"))
+        q = (stream_od_transitions(stream)
+             .writeStream.outputMode("append").format("memory")
+             .queryName("sodmc")
+             .option("checkpointLocation", str(tmp_path / "odmcck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = sorted((r.k, r.tile_from, r.tile_to)
+                     for r in spark.sql("SELECT * FROM sodmc").collect())
+
+        from mvt_wrangler_spark.operators.events import od_matrix
+        from collections import Counter
+
+        batch = {(r.tile_from, r.tile_to): r.n_trips
+                 for r in od_matrix(spark.createDataFrame(rows, sch),
+                                    order_cols=["k"],
+                                    tile_col="tile").collect()}
+        assert dict(Counter((f, t) for _, f, t in got)) == batch
+        # and the walk itself is the key-ordered one: event k transitions
+        # FROM tile (k-1)%7 TO k%7 for every k >= 2
+        assert got == [(k, (k - 1) % 7, k % 7) for k in range(2, 41)]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
