@@ -310,6 +310,33 @@ def test_phash_hamming_hot_bucket_star(spark):
     assert {r.id_b for r in pairs} == set(range(1, n))
 
 
+@pytest.mark.spark
+def test_phash_hamming_refine_before_dedup(spark):
+    """Pin the r07 refine-then-distinct internals: a pair that agrees on
+    SEVERAL bands yields duplicate candidate occurrences that must collapse
+    to ONE output row, and a same-band candidate beyond k must be dropped
+    by the popcount refine (it never reaches the pair dedup) — both checked
+    against brute force, which is blind to the operator's ordering."""
+    rows = []
+    for i in range(10):
+        base = (i * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+        # hamming 2, flipped in bands 0 and 3 -> agrees on bands 1+2
+        # (duplicate candidates), survives the k=3 refine
+        near = base ^ (1 << 1) ^ (1 << 62)
+        # hamming 8 inside band 2 -> agrees on bands 0,1,3 (three candidate
+        # occurrences), all dropped by the refine
+        far = base ^ (0xFF << 40)
+        rows += [(3 * i, base), (3 * i + 1, near), (3 * i + 2, far)]
+    signed = lambda v: v - (1 << 64) if v >= (1 << 63) else v  # noqa: E731
+    df = spark.createDataFrame([(i, signed(c)) for i, c in rows],
+                               "image_id long, phash long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in D.phash_hamming_pairs(df, id_col="image_id", k=3).collect()}
+    want = _brute_hamming_pairs([i for i, _ in rows], [c for _, c in rows], 3)
+    assert set(got) == want
+    assert all(h <= 3 for h in got.values())
+
+
 def test_phash_hamming_validates_params():
     with pytest.raises(ValueError):
         D.phash_hamming_pairs(None, k=4, bands=4)
