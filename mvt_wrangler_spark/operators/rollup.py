@@ -59,29 +59,35 @@ def pyramid_rollup(base: DataFrame, base_z: int, min_z: int = 0) -> DataFrame:
     contract query's physical plan), turning a log-depth pyramid into a
     quadratic one. base after its groupBy is bounded by 4^base_z rows
     regardless of corpus size, so the checkpoint is cheap at any scale,
-    and all per-level aggregations then run as parallel branches of one
-    job over that bounded table (map-side combine collapses each branch
-    to its own output size).
+    and every coarser level then derives from that bounded table in one
+    explode + single aggregation (map-side combine collapses each
+    partition to its distinct coarse keys before the one exchange).
     """
     agg_cols = [c for c in base.columns if c not in ("z", "x", "y")]
     b = base.localCheckpoint()
-    levels = [b]
-    for z in range(base_z - 1, min_z - 1, -1):
-        d = base_z - z
-        levels.append(
-            b.select(
-                F.lit(z).cast("int").alias("z"),
-                F.shiftright("x", d).alias("x"),
-                F.shiftright("y", d).alias("y"),
-                *agg_cols,
-            )
-            .groupBy("z", "x", "y")
-            .agg(*[F.sum(c).alias(c) for c in agg_cols])
-        )
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out
+    if min_z > base_z - 1:
+        return b
+    # ALL coarser levels in one explode + ONE groupBy instead of a groupBy
+    # + union branch per level: each base row contributes its (z', x>>d,
+    # y>>d) tuple once per level either way, and integer sums are
+    # associative, so the single aggregation is bit-identical to the
+    # per-level chain (A/B-verified exceptAll-equal at sf0.1). Wins twice:
+    # one Exchange instead of (base_z - min_z) — map-side combine still
+    # collapses each partition to its distinct coarse keys before the
+    # shuffle — and ~4 DataFrame calls instead of 4 per level, which at
+    # base_z=10 removed ~1 s of driver-side plan construction from every
+    # invocation (the with_hilbert_d lesson: per-call py4j/analyzer
+    # overhead is flat and adds up in loops).
+    zlist = list(range(base_z - 1, min_z - 1, -1))
+    lv = (b.select(F.explode(F.array(*[F.lit(z).cast("int") for z in zlist]))
+                   .alias("__z2"), "x", "y", *agg_cols)
+          .select(F.col("__z2").alias("z"),
+                  F.expr(f"shiftright(x, {base_z} - __z2)").alias("x"),
+                  F.expr(f"shiftright(y, {base_z} - __z2)").alias("y"),
+                  *agg_cols)
+          .groupBy("z", "x", "y")
+          .agg(*[F.sum(c).alias(c) for c in agg_cols]))
+    return b.unionByName(lv)
 
 
 def morans_i(tiles: DataFrame, x_col: str = "x", y_col: str = "y",

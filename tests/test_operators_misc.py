@@ -543,3 +543,38 @@ def test_rtree_probe_equals_direct_scan_and_prunes(spark):
     hit_leaves = {r.leaf for r in assigned.collect() if r.id in direct}
     all_leaves = {r.leaf for r in assigned.collect()}
     assert len(hit_leaves) < len(all_leaves)
+
+
+@pytest.mark.spark
+def test_pyramid_rollup_single_agg_equals_per_level_chain(spark):
+    """Pin the r07 explode + one-groupBy internals of pyramid_rollup
+    against the straightforward per-level aggregation it replaced —
+    random multi-column integer base, every level compared exactly."""
+    from mvt_wrangler_spark.operators import rollup as R
+
+    rng = np.random.default_rng(7)
+    base_z = 5
+    rows = [(int(base_z), int(x), int(y), int(n), int(b))
+            for x, y, n, b in zip(
+                rng.integers(0, 1 << base_z, 300),
+                rng.integers(0, 1 << base_z, 300),
+                rng.integers(1, 1000, 300),
+                rng.integers(0, 10**9, 300))]
+    # unique per tile, like the per-tile stats contract
+    seen, uniq = set(), []
+    for r in rows:
+        if (r[1], r[2]) not in seen:
+            seen.add((r[1], r[2]))
+            uniq.append(r)
+    base = spark.createDataFrame(
+        uniq, "z int, x long, y long, n_rows long, bytes_in long")
+    got = {(r.z, r.x, r.y): (r.n_rows, r.bytes_in)
+           for r in R.pyramid_rollup(base, base_z=base_z, min_z=0).collect()}
+    want = {}
+    for z, x, y, n, b in uniq:
+        for z2 in range(base_z, -1, -1):
+            d = base_z - z2
+            key = (z2, x >> d, y >> d)
+            n0, b0 = want.get(key, (0, 0))
+            want[key] = (n0 + n, b0 + b)
+    assert got == want
