@@ -1649,6 +1649,14 @@ def q_cell_cover_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 level=12, res=7))
     d = d.select("id", F.col("__cells.s2_cell").alias("s2"))
     d = d.withColumn("p5", C.s2_parent_column(F.col("s2"), 5))
+    # pin the slim (id, s2, p5) proxy: un-pinned, the cell-encode UDF ran
+    # FOUR times — the region (build) side and the probe side each embed the
+    # whole encode chain, and on each side the inferred isnotnull(p5) join
+    # filter pushed below the projection duplicates the ArrowEvalPython
+    # (guide §4.4; asNondeterministic would instead block the region
+    # filter's pushdown to the scan). 24 B/row — one encode pass at any
+    # scale.
+    d = d.localCheckpoint(eager=True)
     regions = (d.filter(F.pmod(F.col("id"), F.lit(29)) == 0)
                .select(F.col("p5").alias("rcell")).distinct())
     return (d.join(F.broadcast(regions), d.p5 == regions.rcell)

@@ -228,11 +228,19 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str 
     -> distinct candidate id pairs (a < b; the rep is the bucket minimum, so
     star pairs are already normalized). hot_fallback=False restores the
     round-2 drop behavior.
+
+    `banded` is pinned with localCheckpoint: the plan references it up to 6x
+    (sizes, both self-join sides, the star arm), and an un-materialized
+    reference re-executes the WHOLE shingle+minhash Python pass per copy —
+    measured 6 ArrowEvalPython/6 scans in the un-pinned plan, and 1.63 s ->
+    1.17 s warm at sf0.1 with the pin. The pinned rows are slim
+    (id, bucket) = 16 B x bands per doc — the guide §8 proxy shape, one
+    cheap text pass at any corpus size.
     """
     banded = df.select(
         F.col(id_col).alias("id"),
         F.explode(minhash_band_buckets(F.col(text_col), num_hashes, bands, shingle)).alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
     sizes = banded.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"),
                                          F.min("id").alias("__rep"))
     ok = sizes.filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket)).select("bucket")
@@ -695,9 +703,13 @@ def embedding_neardup_lsh(df: DataFrame, id_col: str = "vec_id",
     # dropDuplicates shuffle — 372k candidate pairs x 1 KB at sf0.1 where
     # the slim form shuffles 16 bytes/pair plus two id-keyed joins of the
     # (much smaller) vector table.
+    # pinned: the slim (id, bucket) table is referenced 4x below (sizes +
+    # both self-join sides), and un-pinned each copy re-runs the sign-LSH
+    # Python pass over the full vector column (4 ArrowEvalPython / 6 scans
+    # measured in the un-pinned plan). 16 B x bands per vector.
     e = df.select(F.col(id_col).alias("id"),
                   F.explode(embedding_sign_buckets(F.col(vec_col), quant, nbits, bands)
-                            ).alias("bucket"))
+                            ).alias("bucket")).localCheckpoint(eager=True)
     sizes = e.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
     ok = sizes.filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket)).select("bucket")
     e = e.join(ok, on="bucket")

@@ -70,7 +70,15 @@ def pip_match_ids_column(spark: SparkSession, polygons: list[tuple[str, G.Polygo
                     hits[j].append(pid)
         return pd.Series(hits)
 
-    return _match(lon, lat)
+    # asNondeterministic: explode("__admins") makes the optimizer infer a
+    # size(..)>0 filter and push it BELOW this projection, duplicating the
+    # whole PIP pass (two ArrowEvalPython nodes — every row paid the grid
+    # query + winding number twice; guide §4.4). The function is pure, but
+    # the marker is the documented way to stop the optimizer cloning an
+    # expensive UDF; the inferred filter then runs on the single computed
+    # column. Generate drops empty arrays regardless, so results are
+    # unchanged.
+    return _match.asNondeterministic()(lon, lat)
 
 
 def broadcast_pip_join(spark: SparkSession, points: DataFrame,
@@ -316,19 +324,23 @@ def intersects_match_ids_column(spark: SparkSession,
                     hits[j].append(pid)
         return pd.Series(hits)
 
+    # asNondeterministic on both variants: same inferred-filter UDF
+    # duplication as pip_match_ids_column (see the comment there) — the
+    # downstream explode otherwise re-evaluates the exact-intersects pass
+    # below the pushed size(..)>0 filter.
     if ring_lens is not None:
         @pandas_udf("array<string>")
         def _match_rings(t: pd.Series, xs_s: pd.Series, ys_s: pd.Series,
                          rl_s: pd.Series) -> pd.Series:
             return _match_core(t, xs_s, ys_s, rl_s)
 
-        return _match_rings(gtype, xs, ys, ring_lens)
+        return _match_rings.asNondeterministic()(gtype, xs, ys, ring_lens)
 
     @pandas_udf("array<string>")
     def _match(t: pd.Series, xs_s: pd.Series, ys_s: pd.Series) -> pd.Series:
         return _match_core(t, xs_s, ys_s, None)
 
-    return _match(gtype, xs, ys)
+    return _match.asNondeterministic()(gtype, xs, ys)
 
 
 def broadcast_intersects_join(spark: SparkSession, feats: DataFrame,
