@@ -548,6 +548,12 @@ def q_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d + 3000000).alias("doc_id"),
         F.concat(ln, F.lit("\n"), ln, F.lit("\n"), ln).alias("text"))
     docs = base.unionAll(dups).unionAll(piis).unionAll(reps)
+    # pin the spiked corpus: it feeds SIX consumers (the id spine + five
+    # signal operators), and un-pinned each consumer re-ran the 4-branch
+    # scan+spike union — 24 parquet scans in the plan, i.e. six full corpus
+    # passes at scale. One materialized pass is what a real curation
+    # pipeline does with its staged corpus.
+    docs = docs.localCheckpoint(eager=True)
 
     keeper = (D.exact_dedup(docs, on="text", order_col="doc_id")
               .select("doc_id").withColumn("__k", F.lit(1)))

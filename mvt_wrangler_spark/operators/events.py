@@ -39,8 +39,11 @@ def funnel(events: DataFrame, steps: list[str], id_col: str = "user_id",
         raise ValueError("funnel needs at least 2 steps")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     k = (us * 1000 + F.pmod(F.col(key_col), F.lit(1000))).cast("long")
+    # pin the slim (__id, __t, __k) projection: every step filters it, and
+    # un-pinned each step re-scans the events source (n_steps passes).
     base = events.select(F.col(id_col).alias("__id"),
-                         F.col(type_col).alias("__t"), k.alias("__k"))
+                         F.col(type_col).alias("__t"), k.alias("__k")
+                         ).localCheckpoint(eager=True)
     acc = (base.filter(F.col("__t") == steps[0])
            .groupBy("__id").agg(F.min("__k").alias("k1")))
     for i, s in enumerate(steps[1:], start=2):
@@ -48,7 +51,12 @@ def funnel(events: DataFrame, steps: list[str], id_col: str = "user_id",
                .join(acc.select("__id", f"k{i-1}"), "__id")
                .filter(F.col("__k") > F.col(f"k{i-1}"))
                .groupBy("__id").agg(F.min("__k").alias(f"k{i}")))
-        acc = acc.join(nxt, "__id", "left")
+        # lazy pin: `acc` is referenced by nxt AND the next accumulator
+        # join, and because nxt embeds acc the duplication otherwise
+        # compounds per step (acc_{i-1} appears 2^(n-i) times — 7 scans for
+        # a 3-step funnel). A lazy localCheckpoint materializes it once
+        # inside the next job with no extra action.
+        acc = acc.join(nxt, "__id", "left").localCheckpoint(eager=False)
     n = len(steps)
     sel = [F.col("__id").alias(id_col)]
     sel += [F.expr(f"k{i} DIV 1000").alias(f"t{i}_us") for i in range(1, n + 1)]

@@ -196,6 +196,14 @@ def ring_validity(rings: DataFrame, key_col: str = "gkey",
     Both arms apply bbox/cell prefilters that are necessary conditions for
     intersection, so the exact flags decide the same pair set either way.
     """
+    # pin the input rings: the plan references them FIVE times (both sides
+    # of each arm's self-join + the ring-key spine), and per-branch column
+    # pruning defeats exchange reuse, so an un-pinned ring-assembly input
+    # (typically a scan + groupBy/collect_list) re-executed per reference
+    # (5 parquet scans measured in q_ring_valid's plan). One materialized
+    # pass of (key, xs, ys) rows; the 4 edge-explode re-derivations from
+    # the pinned arrays are cheap codegen.
+    rings = rings.localCheckpoint(eager=True)
     edges = ring_edges(rings, key_col, xs_col, ys_col)
     k = cell_size.bit_length() - 1
     nonadj = ((F.col("eid_a") < F.col("eid_b"))
