@@ -40,10 +40,14 @@ def funnel(events: DataFrame, steps: list[str], id_col: str = "user_id",
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     k = (us * 1000 + F.pmod(F.col(key_col), F.lit(1000))).cast("long")
     # pin the slim (__id, __t, __k) projection: every step filters it, and
-    # un-pinned each step re-scans the events source (n_steps passes).
-    base = events.select(F.col(id_col).alias("__id"),
-                         F.col(type_col).alias("__t"), k.alias("__k")
-                         ).localCheckpoint(eager=True)
+    # un-pinned each step re-scans the events source (n_steps passes). The
+    # isin pre-filter keeps the pinned volume at exactly the step-typed
+    # rows the walk consumes (a 100-type event table would otherwise pin
+    # every row); it pushes to the scan, so the one pass stays pruned.
+    base = (events.filter(F.col(type_col).isin(steps))
+            .select(F.col(id_col).alias("__id"),
+                    F.col(type_col).alias("__t"), k.alias("__k"))
+            .localCheckpoint(eager=True))
     acc = (base.filter(F.col("__t") == steps[0])
            .groupBy("__id").agg(F.min("__k").alias("k1")))
     for i, s in enumerate(steps[1:], start=2):

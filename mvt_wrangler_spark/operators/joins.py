@@ -37,6 +37,12 @@ def pip_match_ids_column(spark: SparkSession, polygons: list[tuple[str, G.Polygo
 
     GridIndex (STRtree-lite) prefilters by bbox; exact winding-number refine.
     Entirely executor-side vectorized numpy over Arrow batches.
+
+    The returned Column is marked non-deterministic (see the comment at the
+    return); consequences for callers: other filters will not push PAST a
+    projection containing it (apply selective source filters BEFORE calling
+    this), and it is only legal in Project/Filter contexts — not in join
+    conditions or aggregates.
     """
     payload = [(pid, p.exterior, list(p.holes)) for pid, p in polygons]
     index = G.GridIndex([p.bbox for _, p in polygons])
@@ -281,6 +287,10 @@ def intersects_match_ids_column(spark: SparkSession,
                                 gtype: Column, xs: Column, ys: Column,
                                 ring_lens: Column | None = None) -> Column:
     """array<string> of polygon ids whose geometry intersects the feature.
+
+    The returned Column is marked non-deterministic (same rationale and
+    caller caveats as pip_match_ids_column: apply selective source filters
+    BEFORE calling this; Project/Filter contexts only).
 
     General form of the reference's exact-intersects refine
     (transform.rs:130-143) beyond points: features are (geom_type,

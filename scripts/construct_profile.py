@@ -35,6 +35,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = e.queries()
+    unknown = ONLY - set(qs)
+    if unknown:
+        raise SystemExit(f"unknown queries: {sorted(unknown)}")
     names = [n for n in qs if not ONLY or n in ONLY]
     rows = []
     for name in names:
